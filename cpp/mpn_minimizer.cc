@@ -1,0 +1,164 @@
+// mpn_minimizer.cc — (k,w) minimizer extraction and sorted-index construction.
+//
+// Host-side builder for the TPU-resident minimizer index. The reference's
+// alignment stage delegates seeding to minimap2 (reference: bin/lib/aligner.py:206
+// runs `minimap2 -x map-ont`); this implements the same published minimizer
+// scheme (Li 2016: invertible hash on 2k-bit canonical k-mers, window minimum)
+// so the device pipeline can reproduce map-ont seeding (k=15, w=10).
+//
+// Output layout is designed for XLA-friendly device lookup: the index is a
+// pair of sorted flat arrays (hash keys ascending, packed positions), so
+// device-side seed lookup is jnp.searchsorted (log N, fully vectorized) rather
+// than a pointer-chasing hash table.
+//
+// Position packing (uint64): [ seq_id : 24 | pos : 39 | strand : 1 ]
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// Thomas Wang 64-bit invertible integer hash, as used by minimap2 (public
+// algorithm; operates on 2k-bit masked k-mer values).
+static inline uint64_t hash64(uint64_t key, uint64_t mask) {
+  key = (~key + (key << 21)) & mask;
+  key = key ^ (key >> 24);
+  key = ((key + (key << 3)) + (key << 8)) & mask;
+  key = key ^ (key >> 14);
+  key = ((key + (key << 2)) + (key << 4)) & mask;
+  key = key ^ (key >> 28);
+  key = (key + (key << 31)) & mask;
+  return key;
+}
+
+struct Minimizer {
+  uint64_t hash;
+  uint64_t packed;  // seq_id:24 | pos:39 | strand:1  (pos = k-mer END position)
+};
+
+// Extract (k,w) minimizers from one numeric sequence (codes 0..3; 4 = N breaks
+// k-mers). Canonical: min(fwd kmer, revcomp kmer); strand = which was smaller.
+// Windows whose forward and reverse k-mer values tie are skipped (ambiguous
+// strand), matching minimap2's published sketch behavior.
+static void sketch_sequence(const int8_t* seq, int64_t len, uint32_t seq_id,
+                            int k, int w, std::vector<Minimizer>* out) {
+  const uint64_t shift1 = 2 * (k - 1);
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  uint64_t kmer_f = 0, kmer_r = 0;
+  int valid = 0;  // consecutive non-ambiguous bases
+  // ring buffer of window candidates: (hash, packed)
+  std::vector<Minimizer> ring(w);
+  int ring_n = 0, ring_start = 0;
+  Minimizer cur_min{~0ULL, 0};
+  int64_t last_emitted_pos = -1;
+
+  auto emit = [&](const Minimizer& m) {
+    if (m.hash == ~0ULL) return;
+    // dedupe: same (hash, packed) may win consecutive windows
+    if (!out->empty() && out->back().hash == m.hash &&
+        out->back().packed == m.packed)
+      return;
+    out->push_back(m);
+  };
+  (void)last_emitted_pos;
+  (void)ring_n;
+  (void)ring_start;
+
+  // Simple O(len * w) window-min (w is small, 10); positions are k-mer ends.
+  std::vector<Minimizer> kmers;
+  kmers.reserve(len);
+  for (int64_t i = 0; i < len; ++i) {
+    int8_t c = seq[i];
+    if (c < 4) {
+      kmer_f = ((kmer_f << 2) | (uint64_t)c) & mask;
+      kmer_r = (kmer_r >> 2) | (((uint64_t)(3 - c)) << shift1);
+      ++valid;
+    } else {
+      valid = 0;
+    }
+    Minimizer m{~0ULL, 0};
+    if (valid >= k && kmer_f != kmer_r) {
+      int strand = kmer_r < kmer_f ? 1 : 0;
+      uint64_t canon = strand ? kmer_r : kmer_f;
+      m.hash = hash64(canon, mask);
+      m.packed = ((uint64_t)seq_id << 40) | (((uint64_t)i) << 1) |
+                 (uint64_t)strand;
+    }
+    kmers.push_back(m);
+    if (i >= k + w - 2) {
+      // window of k-mer end positions [i-w+1, i]
+      Minimizer best{~0ULL, 0};
+      for (int64_t j = i - w + 1; j <= i; ++j) {
+        const Minimizer& cand = kmers[j];
+        if (cand.hash < best.hash ||
+            (cand.hash == best.hash && cand.packed < best.packed))
+          best = cand;
+      }
+      emit(best);
+    }
+  }
+  (void)cur_min;
+}
+
+struct IndexBuild {
+  std::vector<uint64_t> keys;
+  std::vector<uint64_t> positions;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Sketch a batch of sequences (concatenated codes + offsets) and build a
+// sorted index. Returns an opaque handle.
+void* mpn_index_build(const int8_t* seqs, const int64_t* offsets,
+                      int32_t n_seqs, int k, int w) {
+  std::vector<Minimizer> mins;
+  for (int32_t s = 0; s < n_seqs; ++s) {
+    const int8_t* seq = seqs + offsets[s];
+    int64_t len = offsets[s + 1] - offsets[s];
+    sketch_sequence(seq, len, (uint32_t)s, k, w, &mins);
+  }
+  std::sort(mins.begin(), mins.end(), [](const Minimizer& a, const Minimizer& b) {
+    return a.hash < b.hash || (a.hash == b.hash && a.packed < b.packed);
+  });
+  IndexBuild* idx = new IndexBuild();
+  idx->keys.reserve(mins.size());
+  idx->positions.reserve(mins.size());
+  for (const Minimizer& m : mins) {
+    idx->keys.push_back(m.hash);
+    idx->positions.push_back(m.packed);
+  }
+  return idx;
+}
+
+int64_t mpn_index_size(void* h) { return (int64_t)((IndexBuild*)h)->keys.size(); }
+void mpn_index_copy(void* h, uint64_t* keys_out, uint64_t* pos_out) {
+  IndexBuild* idx = (IndexBuild*)h;
+  memcpy(keys_out, idx->keys.data(), idx->keys.size() * sizeof(uint64_t));
+  memcpy(pos_out, idx->positions.data(), idx->positions.size() * sizeof(uint64_t));
+}
+void mpn_index_free(void* h) { delete (IndexBuild*)h; }
+
+// Sketch a single sequence, returning minimizers in order of occurrence
+// (for query reads). Caller provides output buffers of capacity `cap`;
+// returns the number written (or required size if cap == 0).
+int64_t mpn_sketch(const int8_t* seq, int64_t len, int k, int w,
+                   uint64_t* hashes_out, int64_t* pos_out, int8_t* strand_out,
+                   int64_t cap) {
+  std::vector<Minimizer> mins;
+  sketch_sequence(seq, len, 0, k, w, &mins);
+  int64_t n = (int64_t)mins.size();
+  if (cap == 0) return n;
+  int64_t ncopy = std::min(n, cap);
+  for (int64_t i = 0; i < ncopy; ++i) {
+    hashes_out[i] = mins[i].hash;
+    pos_out[i] = (int64_t)((mins[i].packed >> 1) & ((1ULL << 39) - 1));
+    strand_out[i] = (int8_t)(mins[i].packed & 1);
+  }
+  return n;
+}
+
+}  // extern "C"

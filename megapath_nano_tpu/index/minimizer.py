@@ -1,0 +1,115 @@
+"""Minimizer index: host build (native), device-friendly sorted-array layout.
+
+The reference seeds alignments with minimap2's minimizer index
+(reference: bin/lib/aligner.py:206, `-x map-ont` => k=15, w=10). Here the index
+is two sorted flat arrays (hash keys + packed positions) so that device-side
+lookup is a vectorized binary search (jnp.searchsorted) over an HBM-resident
+table — the TPU-idiomatic replacement for a pointer-chasing hash table, and
+the unit of sharding for multi-chip scale-out (each shard holds a contiguous
+slice of reference sequences with its own table; see dist/sharded_align.py).
+
+Position packing (uint64): seq_id:24 | kmer_end_pos:39 | strand:1.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+
+import numpy as np
+
+from megapath_nano_tpu.native.lib import load_native_lib
+
+POS_BITS = 39
+SEQ_SHIFT = POS_BITS + 1
+POS_MASK = (1 << POS_BITS) - 1
+
+
+@dataclass
+class MinimizerIndex:
+    """Sorted minimizer table over a set of target sequences."""
+
+    k: int
+    w: int
+    keys: np.ndarray        # (n,) uint64, ascending
+    positions: np.ndarray   # (n,) uint64 packed
+    seq_lengths: np.ndarray  # (n_seqs,) int64
+    seq_names: list[str]
+    # concatenated numeric target sequences + offsets, for extension stage
+    seq_data: np.ndarray | None = None
+    seq_offsets: np.ndarray | None = None
+
+    @property
+    def num_minimizers(self) -> int:
+        return len(self.keys)
+
+    @staticmethod
+    def build(
+        seqs: list[np.ndarray],
+        names: list[str] | None = None,
+        *,
+        k: int = 15,
+        w: int = 10,
+        keep_seq: bool = True,
+    ) -> "MinimizerIndex":
+        lib = load_native_lib()
+        n_seqs = len(seqs)
+        flat = (
+            np.concatenate([np.asarray(s, dtype=np.int8) for s in seqs])
+            if n_seqs else np.zeros(0, np.int8)
+        )
+        offsets = np.zeros(n_seqs + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in seqs], out=offsets[1:])
+
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        h = lib.mpn_index_build(flat.ctypes.data_as(i8p),
+                                offsets.ctypes.data_as(i64p), n_seqs, k, w)
+        try:
+            n = lib.mpn_index_size(h)
+            keys = np.zeros(n, dtype=np.uint64)
+            positions = np.zeros(n, dtype=np.uint64)
+            if n:
+                lib.mpn_index_copy(h, keys.ctypes.data_as(u64p),
+                                   positions.ctypes.data_as(u64p))
+        finally:
+            lib.mpn_index_free(h)
+        return MinimizerIndex(
+            k=k, w=w, keys=keys, positions=positions,
+            seq_lengths=np.diff(offsets),
+            seq_names=names or [f"seq{i}" for i in range(n_seqs)],
+            seq_data=flat if keep_seq else None,
+            seq_offsets=offsets if keep_seq else None,
+        )
+
+    def unpack(self, packed: np.ndarray):
+        """packed -> (seq_id, pos, strand) arrays."""
+        packed = packed.astype(np.uint64)
+        seq_id = (packed >> np.uint64(SEQ_SHIFT)).astype(np.int32)
+        pos = ((packed >> np.uint64(1)) & np.uint64(POS_MASK)).astype(np.int64)
+        strand = (packed & np.uint64(1)).astype(np.int8)
+        return seq_id, pos, strand
+
+
+def sketch(seq: np.ndarray, *, k: int = 15, w: int = 10):
+    """Minimizers of a single sequence, in order of occurrence.
+
+    Returns (hashes uint64, end_positions int64, strands int8).
+    """
+    lib = load_native_lib()
+    seq = np.ascontiguousarray(seq, dtype=np.int8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.mpn_sketch(seq.ctypes.data_as(i8p), len(seq), k, w, None, None,
+                       None, 0)
+    hashes = np.zeros(n, dtype=np.uint64)
+    pos = np.zeros(n, dtype=np.int64)
+    strand = np.zeros(n, dtype=np.int8)
+    if n:
+        lib.mpn_sketch(seq.ctypes.data_as(i8p), len(seq), k, w,
+                       hashes.ctypes.data_as(u64p),
+                       pos.ctypes.data_as(i64p),
+                       strand.ctypes.data_as(i8p), n)
+    return hashes, pos, strand

@@ -1,0 +1,18 @@
+"""Test configuration: force a virtual 8-device CPU mesh before JAX import.
+
+Multi-chip sharding paths are validated on host-platform virtual devices
+(XLA_FLAGS=--xla_force_host_platform_device_count), per the driver's
+dryrun_multichip contract. Real-TPU behavior is exercised by bench.py.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
