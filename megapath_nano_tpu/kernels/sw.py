@@ -1,0 +1,325 @@
+"""Pallas TPU kernel: batched banded affine-gap Smith-Waterman scoring.
+
+This is the device-side scoring engine replacing the role of the reference's
+SIMD Smith-Waterman (reference: bin/realignment/realign/ssw.c:123 — Farrar
+striped SSE2) with a TPU-idiomatic formulation:
+
+- Batch of (read, ref) pairs; each lane-row of state holds one pair's DP band.
+- State layout (BATCH_TILE, BAND): batch on sublanes, band on lanes — every
+  DP step is a full-width VPU op.
+- Row-wise recurrence over read positions. The band is diagonal: at read row
+  i, band slot k covers ref position j = i + k - BAND/2, so the diagonal
+  predecessor stays at slot k and the vertical predecessor at slot k+1.
+- The within-row horizontal dependency (gap-in-ref chain F[k] =
+  max(H[k-1]-gapO, F[k-1]-gapE)) — the part Farrar solves with the sequential
+  "lazy-F" loop — is closed-form here: F = shifted-prefix-max of
+  (Hnod[k] - gapO + k*gapE) minus k*gapE, computed with log2(BAND) shift+max
+  steps. Exact, branch-free, fully vectorized.
+
+Semantics: textbook local SW (clamp at 0) over the band; affine gap cost
+gapO + (L-1)*gapE for a length-L gap, identical to ssw.c's recurrence. Scores
+match the reference exactly whenever the optimal path stays within the band
+(tests/test_sw_kernel.py asserts this against the native parity core).
+
+The kernel only scores (score + end positions, plus optional start positions
+via a reversed second pass at the call site). Base-exact CIGARs for the
+winning alignments are produced by the native emit path (cpp/mpn_ssw.cc),
+mirroring how minimap2 only tracebacks primary alignments.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2 ** 29)  # plain int: closed over as a compile-time constant
+
+
+def _shift_lanes_right(x, s, fill, use_pltpu):
+    """Shift along the last (lane) axis: out[..., k] = x[..., k-s]."""
+    if use_pltpu:
+        rolled = pltpu.roll(x, s, axis=1)
+    else:
+        rolled = jnp.roll(x, s, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    return jnp.where(lane < s, fill, rolled)
+
+
+def _shift_lanes_left(x, s, fill, use_pltpu):
+    """out[..., k] = x[..., k+s]."""
+    if use_pltpu:
+        rolled = pltpu.roll(x, x.shape[1] - s, axis=1)  # negative, wrapped
+    else:
+        rolled = jnp.roll(x, -s, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    return jnp.where(lane >= x.shape[1] - s, fill, rolled)
+
+
+def _prefix_max_exclusive(x, band, use_pltpu):
+    """out[..., k] = max(x[..., :k]) (exclusive), NEG when k == 0."""
+    y = _shift_lanes_right(x, 1, NEG, use_pltpu)
+    s = 1
+    while s < band:
+        y = jnp.maximum(y, _shift_lanes_right(y, s, NEG, use_pltpu))
+        s *= 2
+    return y
+
+
+def _row_step_factory(*, band, match, mismatch, gap_open, gap_extend,
+                      use_pltpu):
+    """The shared DP row update, used by both the Pallas kernel (use_pltpu)
+    and the pure-jnp fallback/testing backend."""
+
+    def row_step(i, carry, read_col, ref_slice, rlen):
+        h_prev, e_prev, best, best_i, best_k = carry
+        bt = h_prev.shape[0]
+
+        is_ambig = jnp.logical_or(read_col == 4, ref_slice >= 4)
+        sub = jnp.where(
+            is_ambig,
+            jnp.int32(0),
+            jnp.where(read_col == ref_slice, jnp.int32(match),
+                      jnp.int32(-mismatch)),
+        )
+        # out-of-sequence ref slots (sentinel 5) kill the cell entirely
+        dead = ref_slice == 5
+
+        m = h_prev + sub                                          # diagonal
+        e_up_h = _shift_lanes_left(h_prev, 1, NEG, use_pltpu)     # (i-1, j)
+        e_up_e = _shift_lanes_left(e_prev, 1, NEG, use_pltpu)
+        e = jnp.maximum(e_up_h - gap_open, e_up_e - gap_extend)
+        h_nod = jnp.maximum(m, e)
+        h_nod = jnp.where(dead, NEG, h_nod)
+
+        # F closed form: F[k] = max_{m<k}(Hnod[m] - gapO - (k-1-m)*gapE)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, band), dimension=1)
+        g = h_nod - gap_open + lane * gap_extend
+        f = _prefix_max_exclusive(g, band, use_pltpu) \
+            - (lane - 1) * gap_extend
+        h = jnp.maximum(jnp.maximum(h_nod, f), 0)
+        h = jnp.where(dead, 0, h)
+        # rows beyond the read's real length contribute nothing
+        active = i < rlen                                         # (BT,1)
+        h = jnp.where(active, h, h_prev)
+        e = jnp.where(active, jnp.maximum(e, 0), e_prev)
+
+        row_max = jnp.max(h, axis=1, keepdims=True)               # (BT,1)
+        improved = jnp.logical_and(row_max > best, active)
+        # min-k argmax (ties → smallest ref position, SSW-like)
+        is_max = h == row_max
+        k_of_max = jnp.min(jnp.where(is_max, lane, band), axis=1,
+                           keepdims=True)
+        best = jnp.where(improved, row_max, best)
+        best_i = jnp.where(improved, i, best_i)
+        best_k = jnp.where(improved, k_of_max, best_k)
+        return h, e, best, best_i, best_k
+
+    return row_step
+
+
+def _sw_kernel(reads_ref, rlens_ref, refs_ref, tlens_ref, out_ref,
+               *, band, q_max, match, mismatch, gap_open, gap_extend):
+    """One batch tile: full banded DP over q_max read rows.
+
+    reads_ref: (BT, q_max) int8 — read codes, 0..4
+    refs_ref:  (BT, t_max + band) int8 — target codes padded LEFT by band/2
+               and RIGHT by band/2 with sentinel 5 (host side does padding)
+    rlens/tlens: (BT, 1) int32 actual lengths
+    out_ref:   (BT, 4) int32 — [best_score, end_read, end_ref, zero]
+    """
+    bt = reads_ref.shape[0]
+    half = band // 2
+    rlen = rlens_ref[:, 0:1]  # (BT,1)
+    step = _row_step_factory(band=band, match=match, mismatch=mismatch,
+                             gap_open=gap_open, gap_extend=gap_extend,
+                             use_pltpu=True)
+
+    def row_step(i, carry):
+        # Mosaic requires lane-dim dynamic slices to be 128-aligned: take an
+        # aligned window then rotate the residual offset in-register.
+        base = pl.multiple_of((i // 128) * 128, 128)
+        off = i - base
+        # ref codes for band slots: j = i + k - half → padded index i + k
+        # (rotate is 32-bit only on TPU — widen the small windows first)
+        ref_win = refs_ref[:, pl.ds(base, band + 128)].astype(jnp.int32)
+        ref_slice = pltpu.roll(ref_win, band + 128 - off, axis=1)[:, 0:band]
+        read_win = reads_ref[:, pl.ds(base, 128)].astype(jnp.int32)
+        read_col = pltpu.roll(read_win, 128 - off, axis=1)[:, 0:1]
+        return step(i, carry, read_col, ref_slice, rlen)
+
+    zeros = jnp.zeros((bt, band), jnp.int32)
+    init = (zeros, zeros, jnp.zeros((bt, 1), jnp.int32),
+            jnp.zeros((bt, 1), jnp.int32), jnp.zeros((bt, 1), jnp.int32))
+    h, e, best, best_i, best_k = jax.lax.fori_loop(0, q_max, row_step, init)
+
+    end_ref = best_i + best_k - half
+    out_ref[:, 0:1] = best
+    out_ref[:, 1:2] = best_i
+    out_ref[:, 2:3] = end_ref
+    out_ref[:, 3:4] = jnp.zeros((bt, 1), jnp.int32)
+
+
+def _sw_jnp(reads, read_lens, refs_padded, ref_lens, *, band, q_max,
+            match, mismatch, gap_open, gap_extend):
+    """Pure-jnp backend: same DP math via lax.scan (CPU tests / fallback)."""
+    step = _row_step_factory(band=band, match=match, mismatch=mismatch,
+                             gap_open=gap_open, gap_extend=gap_extend,
+                             use_pltpu=False)
+    n = reads.shape[0]
+    rlen = read_lens[:, None].astype(jnp.int32)
+
+    def scan_body(carry, i):
+        ref_slice = jax.lax.dynamic_slice_in_dim(refs_padded, i, band, axis=1)
+        read_col = jax.lax.dynamic_slice_in_dim(reads, i, 1, axis=1)
+        return step(i, carry, read_col, ref_slice, rlen), None
+
+    zeros = jnp.zeros((n, band), jnp.int32)
+    init = (zeros, zeros, jnp.zeros((n, 1), jnp.int32),
+            jnp.zeros((n, 1), jnp.int32), jnp.zeros((n, 1), jnp.int32))
+    (h, e, best, best_i, best_k), _ = jax.lax.scan(
+        scan_body, init, jnp.arange(q_max, dtype=jnp.int32))
+    return best[:, 0], best_i[:, 0], (best_i + best_k - band // 2)[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band", "match", "mismatch", "gap_open", "gap_extend",
+                     "batch_tile", "backend"),
+)
+def banded_sw_scores(
+    reads: jax.Array,      # (N, q_max) int8, padded with 4/5
+    read_lens: jax.Array,  # (N,) int32
+    refs: jax.Array,       # (N, t_max) int8, padded with 5
+    ref_lens: jax.Array,   # (N,) int32
+    *,
+    band: int = 128,
+    match: int = 2,
+    mismatch: int = 4,
+    gap_open: int = 4,
+    gap_extend: int = 2,
+    batch_tile: int = 64,
+    backend: str = "pallas",
+):
+    """Batched banded local SW. Returns (scores, end_read, end_ref) int32.
+
+    The band is centered on the main diagonal: at read position i it covers
+    ref positions [i - band/2, i + band/2). Callers align seeds to the
+    diagonal by slicing the target window so the anchor sits near the center.
+
+    backend: "pallas" (TPU Mosaic kernel) or "jnp" (identical math via
+    lax.scan — runs on any platform; used for CPU tests and as fallback).
+    """
+    n, q_max = reads.shape
+    t_max = refs.shape[1]
+    half = band // 2
+    assert band % 128 == 0, "band must be a multiple of 128 lanes"
+
+    # lane-dim windows in the kernel need 128-aligned dims and t_max >= q_max
+    q_pad = (-q_max) % 128
+    if q_pad:
+        reads = jnp.pad(reads, ((0, 0), (0, q_pad)), constant_values=4)
+        q_max += q_pad
+    t_need = max(t_max, q_max)
+    t_pad = (-t_need) % 128 + (t_need - t_max)
+    if t_pad:
+        refs = jnp.pad(refs, ((0, 0), (0, t_pad)), constant_values=5)
+        t_max += t_pad
+
+    # pad: batch to tile multiple, refs by band (half sentinel each side)
+    n_pad = (-n) % batch_tile
+    if n_pad:
+        reads = jnp.pad(reads, ((0, n_pad), (0, 0)), constant_values=4)
+        refs = jnp.pad(refs, ((0, n_pad), (0, 0)), constant_values=5)
+        read_lens = jnp.pad(read_lens, (0, n_pad))
+        ref_lens = jnp.pad(ref_lens, (0, n_pad))
+    refs_padded = jnp.pad(refs, ((0, 0), (half, half)), constant_values=5)
+    # mask beyond each ref's true length with sentinel 5
+    col = jnp.arange(t_max + band, dtype=jnp.int32)[None, :]
+    refs_padded = jnp.where(col >= ref_lens[:, None] + half, 5,
+                            refs_padded).astype(jnp.int8)
+
+    if backend == "jnp":
+        s, ei, ej = _sw_jnp(reads, read_lens, refs_padded, ref_lens,
+                            band=band, q_max=q_max, match=match,
+                            mismatch=mismatch, gap_open=gap_open,
+                            gap_extend=gap_extend)
+        return s[:n], ei[:n], ej[:n]
+
+    n_t = reads.shape[0] // batch_tile
+    grid = (n_t,)
+    kernel = functools.partial(
+        _sw_kernel, band=band, q_max=q_max, match=match, mismatch=mismatch,
+        gap_open=gap_open, gap_extend=gap_extend)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((batch_tile, q_max), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, t_max + band), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch_tile, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((reads.shape[0], 4), jnp.int32),
+    )(reads, read_lens[:, None].astype(jnp.int32), refs_padded,
+      ref_lens[:, None].astype(jnp.int32))
+
+    out = out[:n]
+    return out[:, 0], out[:, 1], out[:, 2]
+
+
+def banded_sw_reference(read, ref, *, band=128, match=2, mismatch=4,
+                        gap_open=4, gap_extend=2):
+    """Numpy reference with identical band semantics (for tests).
+
+    The F (gap-in-ref) chain is computed with the textbook sequential
+    recurrence — independent of the kernel's closed-form prefix-max — so the
+    test cross-checks that transformation.
+    """
+    import numpy as np
+
+    half = band // 2
+    q, t = len(read), len(ref)
+    neg = -(2 ** 29)
+    h_prev = np.zeros(band, np.int64)
+    e_prev = np.zeros(band, np.int64)
+    best = 0
+    best_i = best_j = 0
+    ks = np.arange(band)
+    for i in range(q):
+        j = i + ks - half
+        in_ref = (j >= 0) & (j < t)
+        jc = np.clip(j, 0, max(t - 1, 0))
+        refb = np.asarray(ref)[jc]
+        ambig = (read[i] >= 4) | (refb >= 4)
+        sub = np.where(ambig, 0, np.where(refb == read[i], match, -mismatch))
+        m = np.where(in_ref, h_prev + sub, neg)
+        up_h = np.concatenate([h_prev[1:], [neg]])
+        up_e = np.concatenate([e_prev[1:], [neg]])
+        e = np.maximum(up_h - gap_open, up_e - gap_extend)
+        h_nod = np.where(in_ref, np.maximum(m, e), neg)
+        # sequential F chain (the part the kernel replaces with a scan)
+        h = np.zeros(band, np.int64)
+        f = neg
+        for k in range(band):
+            val = max(int(h_nod[k]), f, 0) if in_ref[k] else 0
+            h[k] = val
+            f = max(val - gap_open, f - gap_extend)
+        e_row = np.where(in_ref, np.maximum(e, 0), 0)
+        row_best = int(h.max())
+        if row_best > best:
+            best = row_best
+            best_i = i
+            best_j = i + int(np.argmax(h)) - half
+        h_prev, e_prev = h, e_row
+    return int(best), best_i, best_j
