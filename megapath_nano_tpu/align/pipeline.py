@@ -1,0 +1,276 @@
+"""Seed → chain → extend alignment pipeline.
+
+The framework's replacement for the reference's minimap2 invocation
+(reference: bin/lib/aligner.py:93 Align(); `minimap2 -N 50 -p 1 -x map-ont`,
+megapath_nano.py:1253 step_placement_to_species). Orchestration is host-side
+numpy; all DP (chaining, banded extension) runs on-device in batches; final
+base-exact CIGARs for per-(read,sequence) best alignments come from the
+native SSW emit path.
+
+Output is an AlignList in the reference's align_list schema, ready for the
+taxon module (best-alignment selection, abundance, noise filters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from megapath_nano_tpu.align.anchors import collect_anchors, pack_groups
+from megapath_nano_tpu.align.chain import backtrack_chain, chain_scores
+from megapath_nano_tpu.align.records import ALIGN_DTYPE, AlignList
+from megapath_nano_tpu.index.minimizer import MinimizerIndex
+from megapath_nano_tpu.kernels.sw import banded_sw_scores
+from megapath_nano_tpu.native.ssw import ssw_align
+from megapath_nano_tpu.utils.dna import revcomp
+
+
+@dataclass
+class AlignParams:
+    """map-ont-flavored parameters (minimap2 defaults where applicable)."""
+
+    match: int = 2
+    mismatch: int = 4
+    gap_open: int = 4
+    gap_extend: int = 2
+    band: int = 256
+    max_occ: int = 64
+    min_group_anchors: int = 3
+    min_chain_score: int = 40
+    max_alignments_per_read: int = 50   # reference uses -N 50
+    min_alignment_score: int = 0
+    window_pad: int = 64
+    max_anchors_per_group: int = 256
+    extend_batch: int = 256
+    backend: str = "pallas"
+    tiebreaker_seed: int = 0
+
+
+@dataclass
+class SequenceMeta:
+    """Per-target-sequence metadata (assembly + taxonomy join columns).
+
+    Mirrors AssemblyMetadata's sequence_summary / assembly_tax_id join
+    (reference: bin/lib/assembly_metadata.py:107-222)."""
+
+    assembly_idx: np.ndarray          # (n_seqs,) int32 index into assembly_names
+    assembly_names: list[str]
+    tax_id: np.ndarray = field(default=None)
+    species_tax_id: np.ndarray = field(default=None)
+    genus_tax_id: np.ndarray = field(default=None)
+
+    @staticmethod
+    def single_assembly_per_sequence(seq_names):
+        n = len(seq_names)
+        return SequenceMeta(
+            assembly_idx=np.arange(n, dtype=np.int32),
+            assembly_names=list(seq_names),
+            tax_id=np.zeros(n, np.int64),
+            species_tax_id=np.zeros(n, np.int64),
+            genus_tax_id=np.zeros(n, np.int64),
+        )
+
+
+def _stable_uniform(seed: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic per-row uniform [0,1) from integer keys — the analogue
+    of the reference's filename-seeded tiebreaker RNG (lib/aligner.py:160)."""
+    x = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         + b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+         + np.uint64(seed))
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _cigar_stats(cigar, read, ref, read_start, ref_start):
+    """matches / edit distance from a CIGAR walk (M runs compared base-wise)."""
+    m = 0
+    nm = 0
+    qi, ti = read_start, ref_start
+    for length, op in cigar:
+        if op == "M":
+            a = read[qi: qi + length]
+            b = ref[ti: ti + length]
+            eq = int(np.sum(a == b))
+            m += eq
+            nm += length - eq
+            qi += length
+            ti += length
+        elif op == "I":
+            nm += length
+            qi += length
+        elif op == "D":
+            nm += length
+            ti += length
+    return m, nm
+
+
+class MinimizerAligner:
+    """End-to-end read mapper against a MinimizerIndex."""
+
+    def __init__(self, index: MinimizerIndex, meta: SequenceMeta | None = None,
+                 params: AlignParams | None = None):
+        assert index.seq_data is not None, "index must keep target sequences"
+        self.index = index
+        self.params = params or AlignParams()
+        self.meta = meta or SequenceMeta.single_assembly_per_sequence(
+            index.seq_names)
+
+    # -- helpers ----------------------------------------------------------
+    def _target_window(self, seq_id: int, start: int, end: int) -> np.ndarray:
+        off = self.index.seq_offsets
+        s0, s1 = int(off[seq_id]), int(off[seq_id + 1])
+        start = max(s0 + start, s0)
+        end = min(s0 + end, s1)
+        return self.index.seq_data[start:end]
+
+    def map_reads(self, reads: list[np.ndarray],
+                  read_names: list[str] | None = None) -> AlignList:
+        p = self.params
+        idx = self.index
+        n_seqs = len(idx.seq_names)
+        seq_lens = idx.seq_lengths
+
+        groups = collect_anchors(idx, reads, max_occ=p.max_occ,
+                                 min_group_anchors=p.min_group_anchors)
+        if groups.n_groups == 0:
+            return AlignList.empty(idx.seq_names, self.meta.assembly_names,
+                                   read_names or [])
+
+        qg, tg, cnt, t_base, _sel = pack_groups(
+            groups, max_anchors=p.max_anchors_per_group)
+        f, parent, best, best_idx = chain_scores(
+            qg.astype(np.int32), tg.astype(np.int32), cnt)
+        f = np.asarray(f)
+        parent = np.asarray(parent)
+        best = np.asarray(best)
+        best_idx = np.asarray(best_idx)
+
+        keep = best >= p.min_chain_score
+        g_ids = np.flatnonzero(keep)
+        if len(g_ids) == 0:
+            return AlignList.empty(idx.seq_names, self.meta.assembly_names,
+                                   read_names or [])
+
+        # top-K candidate groups per read by chain score
+        order = np.lexsort((-best[g_ids], groups.group_read[g_ids]))
+        g_sorted = g_ids[order]
+        rids = groups.group_read[g_sorted]
+        rank = np.zeros(len(g_sorted), np.int64)
+        same = np.flatnonzero(np.append(False, rids[1:] == rids[:-1]))
+        for s in same:  # cumulative rank within read runs
+            rank[s] = rank[s - 1] + 1
+        g_final = g_sorted[rank < p.max_alignments_per_read]
+
+        # chain extents (backtrack on host)
+        recs = []
+        ext_reads, ext_refs = [], []
+        for g in g_final:
+            chain = backtrack_chain(parent[g], int(best_idx[g]))
+            q_chain = qg[g, chain]
+            t_chain = tg[g, chain].astype(np.int64) + t_base[g]
+            rid = int(groups.group_read[g])
+            seq_id = int(groups.group_seq[g])
+            strand = int(groups.group_strand[g])
+            qlen = len(reads[rid])
+            q_lo = int(q_chain.min()) - (idx.k - 1)
+            q_hi = int(q_chain.max()) + 1
+            t_lo = int(t_chain.min()) - (idx.k - 1)
+            t_hi = int(t_chain.max()) + 1
+            # extension window covering the full read projection
+            w_lo = t_lo - q_lo - p.window_pad
+            w_hi = t_hi + (qlen - q_hi) + p.window_pad
+            seq_off = int(idx.seq_offsets[seq_id])
+            seq_len = int(seq_lens[seq_id])
+            w_lo = max(w_lo, 0)
+            w_hi = min(w_hi, seq_len)
+            window = idx.seq_data[seq_off + w_lo: seq_off + w_hi]
+            query = reads[rid] if strand == 0 else revcomp(reads[rid])
+            recs.append(dict(rid=rid, seq_id=seq_id, strand=strand,
+                             qlen=qlen, w_lo=w_lo, w_hi=w_hi,
+                             chain_score=int(best[g])))
+            ext_reads.append(query)
+            ext_refs.append(window)
+
+        # batched banded extension on device
+        n_ext = len(ext_reads)
+        q_max = max(128, int(np.ceil(max(len(r) for r in ext_reads) / 128))
+                    * 128)
+        t_max = max(q_max, int(np.ceil(max(len(t) for t in ext_refs) / 128))
+                    * 128)
+        scores = np.zeros(n_ext, np.int64)
+        for s0 in range(0, n_ext, p.extend_batch):
+            s1 = min(s0 + p.extend_batch, n_ext)
+            m = s1 - s0
+            ra = np.full((m, q_max), 4, np.int8)
+            ta = np.full((m, t_max), 5, np.int8)
+            rl = np.zeros(m, np.int32)
+            tl = np.zeros(m, np.int32)
+            for i in range(m):
+                rr, tt = ext_reads[s0 + i], ext_refs[s0 + i]
+                ra[i, : len(rr)] = rr
+                ta[i, : len(tt)] = tt
+                rl[i] = len(rr)
+                tl[i] = len(tt)
+            bt = min(128, max(8, 1 << int(np.ceil(np.log2(max(m, 1))))))
+            sc, _, _ = banded_sw_scores(
+                ra, rl, ta, tl, band=p.band, match=p.match,
+                mismatch=p.mismatch, gap_open=p.gap_open,
+                gap_extend=p.gap_extend, batch_tile=bt, backend=p.backend)
+            scores[s0:s1] = np.asarray(sc)[:m]
+
+        # keep per-(read, seq, strand) winners; exact emit via native SSW
+        best_per_key: dict[tuple, int] = {}
+        for i, r in enumerate(recs):
+            key = (r["rid"], r["seq_id"])
+            if scores[i] > p.min_alignment_score and (
+                    key not in best_per_key
+                    or scores[i] > scores[best_per_key[key]]):
+                best_per_key[key] = i
+
+        # mapq from chain-score ratio per read (minimap2-flavored)
+        read_best: dict[int, list] = {}
+        for i, r in enumerate(recs):
+            read_best.setdefault(r["rid"], []).append(int(scores[i]))
+
+        out = np.zeros(len(best_per_key), ALIGN_DTYPE)
+        for row, ((rid, seq_id), i) in enumerate(best_per_key.items()):
+            r = recs[i]
+            query, window = ext_reads[i], ext_refs[i]
+            aln = ssw_align(query, window, match=p.match, mismatch=p.mismatch,
+                            gap_open=p.gap_open, gap_extend=p.gap_extend,
+                            want_cigar=True)
+            matches, nm = _cigar_stats(aln.cigar, query, window,
+                                       aln.read_begin, aln.ref_begin)
+            qlen = r["qlen"]
+            if r["strand"] == 0:
+                read_from, read_to = aln.read_begin, aln.read_end + 1
+            else:  # flip back to original read coordinates
+                read_from = qlen - (aln.read_end + 1)
+                read_to = qlen - aln.read_begin
+            seq_from = r["w_lo"] + aln.ref_begin
+            seq_to = r["w_lo"] + aln.ref_end + 1
+            ss = sorted(read_best[rid], reverse=True)
+            f1 = ss[0]
+            f2 = ss[1] if len(ss) > 1 else 0
+            mapq = 0 if f1 <= 0 else int(
+                min(60, 40.0 * max(0.0, 1.0 - f2 / f1)
+                    + 0.01 * min(f1, 2000)))
+            out[row] = (
+                rid, qlen, read_from, read_to, r["strand"], seq_id,
+                int(seq_lens[seq_id]), seq_from, seq_to, matches, mapq, nm,
+                int(aln.score1), int(self.meta.assembly_idx[seq_id]),
+                int(self.meta.tax_id[seq_id]),
+                int(self.meta.species_tax_id[seq_id]),
+                int(self.meta.genus_tax_id[seq_id]),
+                0.0,
+            )
+        out["alignment_score_tiebreaker"] = _stable_uniform(
+            p.tiebreaker_seed, out["read_id"],
+            out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
+            + out["sequence_from"])
+        order = np.lexsort((out["sequence_id"], out["read_id"]))
+        return AlignList(out[order], list(idx.seq_names),
+                         list(self.meta.assembly_names), read_names or [])
