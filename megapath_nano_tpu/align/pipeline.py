@@ -194,27 +194,35 @@ class MinimizerAligner:
             ext_reads.append(query)
             ext_refs.append(window)
 
-        # batched banded extension on device
+        # batched banded extension on device. Shapes are bucketed to powers
+        # of two so XLA executables cache across calls (a fresh shape means a
+        # 20-40s remote compile on the TPU tunnel).
         n_ext = len(ext_reads)
-        q_max = max(128, int(np.ceil(max(len(r) for r in ext_reads) / 128))
-                    * 128)
-        t_max = max(q_max, int(np.ceil(max(len(t) for t in ext_refs) / 128))
-                    * 128)
+
+        def _bucket(x, lo=256):
+            b = lo
+            while b < x:
+                b *= 2
+            return b
+
+        q_max = _bucket(max(len(r) for r in ext_reads))
+        t_max = _bucket(max(max(len(t) for t in ext_refs), q_max))
         scores = np.zeros(n_ext, np.int64)
+        bt = 128
         for s0 in range(0, n_ext, p.extend_batch):
             s1 = min(s0 + p.extend_batch, n_ext)
             m = s1 - s0
-            ra = np.full((m, q_max), 4, np.int8)
-            ta = np.full((m, t_max), 5, np.int8)
-            rl = np.zeros(m, np.int32)
-            tl = np.zeros(m, np.int32)
+            mp = ((m + bt - 1) // bt) * bt  # pad so (mp, bt) is stable
+            ra = np.full((mp, q_max), 4, np.int8)
+            ta = np.full((mp, t_max), 5, np.int8)
+            rl = np.zeros(mp, np.int32)
+            tl = np.zeros(mp, np.int32)
             for i in range(m):
                 rr, tt = ext_reads[s0 + i], ext_refs[s0 + i]
                 ra[i, : len(rr)] = rr
                 ta[i, : len(tt)] = tt
                 rl[i] = len(rr)
                 tl[i] = len(tt)
-            bt = min(128, max(8, 1 << int(np.ceil(np.log2(max(m, 1))))))
             sc, _, _ = banded_sw_scores(
                 ra, rl, ta, tl, band=p.band, match=p.match,
                 mismatch=p.mismatch, gap_open=p.gap_open,
