@@ -142,6 +142,39 @@ void mpn_index_copy(void* h, uint64_t* keys_out, uint64_t* pos_out) {
 }
 void mpn_index_free(void* h) { delete (IndexBuild*)h; }
 
+// Batch sketch: concatenated reads + offsets -> concatenated minimizers with
+// per-read offsets. Two-phase: call with hashes_out == NULL to get required
+// total size, then with buffers. out_offsets has n_reads+1 entries.
+int64_t mpn_sketch_batch(const int8_t* seqs, const int64_t* offsets,
+                         int32_t n_reads, int k, int w,
+                         uint64_t* hashes_out, int64_t* pos_out,
+                         int8_t* strand_out, int64_t* out_offsets,
+                         int64_t cap) {
+  int64_t total = 0;
+  std::vector<Minimizer> mins;
+  for (int32_t r = 0; r < n_reads; ++r) {
+    mins.clear();
+    const int8_t* seq = seqs + offsets[r];
+    int64_t len = offsets[r + 1] - offsets[r];
+    sketch_sequence(seq, len, 0, k, w, &mins);
+    if (hashes_out) {
+      out_offsets[r] = total;
+      int64_t m = std::min<int64_t>((int64_t)mins.size(), cap - total);
+      for (int64_t i = 0; i < m; ++i) {
+        hashes_out[total + i] = mins[i].hash;
+        pos_out[total + i] =
+            (int64_t)((mins[i].packed >> 1) & ((1ULL << 39) - 1));
+        strand_out[total + i] = (int8_t)(mins[i].packed & 1);
+      }
+      total += m;
+    } else {
+      total += (int64_t)mins.size();
+    }
+  }
+  if (hashes_out) out_offsets[n_reads] = total;
+  return total;
+}
+
 // Sketch a single sequence, returning minimizers in order of occurrence
 // (for query reads). Caller provides output buffers of capacity `cap`;
 // returns the number written (or required size if cap == 0).

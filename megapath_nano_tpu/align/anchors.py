@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from megapath_nano_tpu.index.minimizer import MinimizerIndex, sketch
+from megapath_nano_tpu.index.minimizer import MinimizerIndex
 
 
 @dataclass
@@ -53,54 +53,48 @@ def collect_anchors(
     (repeat masking — minimap2's mid-occurrence filter).
     """
     keys = index.keys
-    all_q, all_t, all_rid, all_seq, all_strand = [], [], [], [], []
+    empty = AnchorGroups(np.zeros(0, np.int32), np.zeros(0, np.int64),
+                         np.zeros(1, np.int64), np.zeros(0, np.int32),
+                         np.zeros(0, np.int32), np.zeros(0, np.int8))
+    if not reads:
+        return empty
 
-    for rid, read in enumerate(reads):
-        if len(read) < index.k:
-            continue
-        hashes, q_pos, q_strand = sketch(read, k=index.k, w=index.w)
-        if len(hashes) == 0:
-            continue
-        lo = np.searchsorted(keys, hashes, side="left")
-        hi = np.searchsorted(keys, hashes, side="right")
-        cnt = hi - lo
-        keep = (cnt > 0) & (cnt <= max_occ)
-        if not keep.any():
-            continue
-        lo, hi = lo[keep], hi[keep]
-        q_pos_k, q_strand_k = q_pos[keep], q_strand[keep]
-        n_hits = (hi - lo).astype(np.int64)
-        total = int(n_hits.sum())
-        # expand ranges: flat index positions into the table
-        starts = np.repeat(lo, n_hits)
-        offs = np.arange(total) - np.repeat(
-            np.concatenate([[0], np.cumsum(n_hits)[:-1]]), n_hits)
-        flat = starts + offs
-        packed = index.positions[flat]
-        seq_id, t_pos, t_strand = index.unpack(packed)
-        q_rep = np.repeat(q_pos_k, n_hits).astype(np.int64)
-        qs_rep = np.repeat(q_strand_k, n_hits)
-        rel_strand = (qs_rep ^ t_strand).astype(np.int8)
-        # flip query coords for minus-strand anchors (k-mer end in revcomp)
-        qlen = len(read)
-        q_adj = np.where(rel_strand == 1, qlen + index.k - 2 - q_rep, q_rep)
-        all_q.append(q_adj.astype(np.int32))
-        all_t.append(t_pos)
-        all_rid.append(np.full(total, rid, np.int32))
-        all_seq.append(seq_id)
-        all_strand.append(rel_strand)
+    # one native call sketches every read; everything after is flat numpy
+    from megapath_nano_tpu.index.minimizer import sketch_batch
 
-    if not all_q:
-        z64 = np.zeros(0, np.int64)
-        return AnchorGroups(np.zeros(0, np.int32), z64,
-                            np.zeros(1, np.int64), np.zeros(0, np.int32),
-                            np.zeros(0, np.int32), np.zeros(0, np.int8))
+    hashes, q_pos, q_strand, moff = sketch_batch(reads, k=index.k, w=index.w)
+    if len(hashes) == 0:
+        return empty
+    read_of = np.repeat(np.arange(len(reads), dtype=np.int32),
+                        np.diff(moff))
+    read_lens = np.array([len(r) for r in reads], np.int64)
 
-    q = np.concatenate(all_q)
-    t = np.concatenate(all_t)
-    rid = np.concatenate(all_rid)
-    seq = np.concatenate(all_seq)
-    strand = np.concatenate(all_strand)
+    lo = np.searchsorted(keys, hashes, side="left")
+    hi = np.searchsorted(keys, hashes, side="right")
+    cnt = hi - lo
+    keep = (cnt > 0) & (cnt <= max_occ)
+    if not keep.any():
+        return empty
+    lo = lo[keep]
+    n_hits = cnt[keep].astype(np.int64)
+    q_pos_k = q_pos[keep]
+    q_strand_k = q_strand[keep]
+    rid_k = read_of[keep]
+
+    total = int(n_hits.sum())
+    starts = np.repeat(lo, n_hits)
+    offs = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_hits)[:-1]]), n_hits)
+    packed = index.positions[starts + offs]
+    seq, t, t_strand = index.unpack(packed)
+    q_rep = np.repeat(q_pos_k, n_hits).astype(np.int64)
+    qs_rep = np.repeat(q_strand_k, n_hits)
+    strand = (qs_rep ^ t_strand).astype(np.int8)
+    rid = np.repeat(rid_k, n_hits)
+    qlen_rep = read_lens[rid]
+    # flip query coords for minus-strand anchors (k-mer end in revcomp)
+    q = np.where(strand == 1, qlen_rep + index.k - 2 - q_rep,
+                 q_rep).astype(np.int32)
 
     # sort by (read, seq, strand, t, q) then cut into groups
     order = np.lexsort((q, t, strand, seq, rid))
@@ -111,14 +105,13 @@ def collect_anchors(
         | (strand[1:] != strand[:-1])
     group_starts = np.flatnonzero(new_group)
     group_ends = np.append(group_starts[1:], len(q))
-    sizes = group_ends - group_starts
-    keep = sizes >= min_group_anchors
+    sizes_all = group_ends - group_starts
+    keep = sizes_all >= min_group_anchors
     group_starts, group_ends = group_starts[keep], group_ends[keep]
 
-    # compact the kept groups
-    idx = np.concatenate([np.arange(s, e) for s, e in
-                          zip(group_starts, group_ends)]) if len(group_starts) \
-        else np.zeros(0, np.int64)
+    # compact the kept groups (rows are contiguous per group)
+    keep_row = np.repeat(keep, sizes_all)
+    idx = np.flatnonzero(keep_row)
     sizes = group_ends - group_starts
     offsets = np.zeros(len(sizes) + 1, np.int64)
     np.cumsum(sizes, out=offsets[1:])

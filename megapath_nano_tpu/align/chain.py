@@ -110,6 +110,37 @@ def chain_scores(
     return f, parent, best_score, best_idx
 
 
+@jax.jit
+def chain_extents(q_pos, t_pos, parent, best_idx):
+    """Device-side chain backtrack: follow parent pointers from best_idx and
+    return (q_min, q_max, t_min, t_max, length) per row — avoids shipping the
+    whole parent matrix to the host."""
+    n, a = q_pos.shape
+
+    def body(carry, _):
+        cur, qmin, qmax, tmin, tmax, cnt = carry
+        valid = cur >= 0
+        cc = jnp.maximum(cur, 0)
+        q = jnp.take_along_axis(q_pos, cc[:, None], axis=1)[:, 0]
+        t = jnp.take_along_axis(t_pos, cc[:, None], axis=1)[:, 0]
+        qmin = jnp.where(valid, jnp.minimum(qmin, q), qmin)
+        qmax = jnp.where(valid, jnp.maximum(qmax, q), qmax)
+        tmin = jnp.where(valid, jnp.minimum(tmin, t), tmin)
+        tmax = jnp.where(valid, jnp.maximum(tmax, t), tmax)
+        cnt = cnt + valid.astype(jnp.int32)
+        nxt = jnp.take_along_axis(parent, cc[:, None], axis=1)[:, 0]
+        cur = jnp.where(valid, nxt, -1)
+        return (cur, qmin, qmax, tmin, tmax, cnt), None
+
+    big = jnp.int32(2 ** 30)
+    init = (best_idx.astype(jnp.int32), jnp.full((n,), big, jnp.int32),
+            jnp.full((n,), -big, jnp.int32), jnp.full((n,), big, jnp.int32),
+            jnp.full((n,), -big, jnp.int32), jnp.zeros((n,), jnp.int32))
+    (cur, qmin, qmax, tmin, tmax, cnt), _ = jax.lax.scan(
+        body, init, None, length=a)
+    return qmin, qmax, tmin, tmax, cnt
+
+
 def backtrack_chain(parent_row: np.ndarray, best_idx: int) -> np.ndarray:
     """Host-side chain extraction: follow parents from the best anchor."""
     chain = []

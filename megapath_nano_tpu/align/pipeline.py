@@ -18,11 +18,11 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from megapath_nano_tpu.align.anchors import collect_anchors, pack_groups
-from megapath_nano_tpu.align.chain import backtrack_chain, chain_scores
+from megapath_nano_tpu.align.chain import chain_extents, chain_scores
 from megapath_nano_tpu.align.records import ALIGN_DTYPE, AlignList
 from megapath_nano_tpu.index.minimizer import MinimizerIndex
 from megapath_nano_tpu.kernels.sw import banded_sw_scores
-from megapath_nano_tpu.native.ssw import ssw_align
+
 from megapath_nano_tpu.utils.dna import revcomp
 
 
@@ -42,7 +42,7 @@ class AlignParams:
     min_alignment_score: int = 0
     window_pad: int = 64
     max_anchors_per_group: int = 256
-    extend_batch: int = 256
+    extend_batch: int = 1024
     backend: str = "pallas"
     tiebreaker_seed: int = 0
 
@@ -141,12 +141,28 @@ class MinimizerAligner:
 
         qg, tg, cnt, t_base, _sel = pack_groups(
             groups, max_anchors=p.max_anchors_per_group)
-        f, parent, best, best_idx = chain_scores(
-            qg.astype(np.int32), tg.astype(np.int32), cnt)
-        f = np.asarray(f)
-        parent = np.asarray(parent)
-        best = np.asarray(best)
-        best_idx = np.asarray(best_idx)
+        # chain in fixed-size chunks: exactly one compiled shape, and all
+        # chunk outputs are stacked on device and fetched in one transfer
+        ng = len(cnt)
+        CHUNK = 4096
+        import jax.numpy as jnp
+
+        chunk_outs = []
+        for c0 in range(0, ng, CHUNK):
+            c1 = min(c0 + CHUNK, ng)
+            m = c1 - c0
+            qg_c = np.zeros((CHUNK, qg.shape[1]), np.int32)
+            tg_c = np.zeros((CHUNK, tg.shape[1]), np.int32)
+            cnt_c = np.zeros(CHUNK, np.int32)
+            qg_c[:m] = qg[c0:c1]
+            tg_c[:m] = tg[c0:c1]
+            cnt_c[:m] = cnt[c0:c1]
+            f, parent, b, bi = chain_scores(qg_c, tg_c, cnt_c)
+            ext = chain_extents(qg_c, tg_c, parent, bi)
+            chunk_outs.append(jnp.stack([b.astype(jnp.int32), *ext]))
+        stacked = np.asarray(jnp.concatenate(chunk_outs, axis=1))[:, :ng]
+        best = stacked[0].astype(np.int64)
+        q_min, q_max_, t_min, t_max_ = stacked[1:5]
 
         keep = best >= p.min_chain_score
         g_ids = np.flatnonzero(keep)
@@ -164,21 +180,18 @@ class MinimizerAligner:
             rank[s] = rank[s - 1] + 1
         g_final = g_sorted[rank < p.max_alignments_per_read]
 
-        # chain extents (backtrack on host)
+        # extension windows from device-computed chain extents
         recs = []
         ext_reads, ext_refs = [], []
         for g in g_final:
-            chain = backtrack_chain(parent[g], int(best_idx[g]))
-            q_chain = qg[g, chain]
-            t_chain = tg[g, chain].astype(np.int64) + t_base[g]
             rid = int(groups.group_read[g])
             seq_id = int(groups.group_seq[g])
             strand = int(groups.group_strand[g])
             qlen = len(reads[rid])
-            q_lo = int(q_chain.min()) - (idx.k - 1)
-            q_hi = int(q_chain.max()) + 1
-            t_lo = int(t_chain.min()) - (idx.k - 1)
-            t_hi = int(t_chain.max()) + 1
+            q_lo = int(q_min[g]) - (idx.k - 1)
+            q_hi = int(q_max_[g]) + 1
+            t_lo = int(t_min[g]) + int(t_base[g]) - (idx.k - 1)
+            t_hi = int(t_max_[g]) + int(t_base[g]) + 1
             # extension window covering the full read projection
             w_lo = t_lo - q_lo - p.window_pad
             w_hi = t_hi + (qlen - q_hi) + p.window_pad
@@ -207,8 +220,8 @@ class MinimizerAligner:
 
         q_max = _bucket(max(len(r) for r in ext_reads))
         t_max = _bucket(max(max(len(t) for t in ext_refs), q_max))
-        scores = np.zeros(n_ext, np.int64)
         bt = 128
+        score_parts = []
         for s0 in range(0, n_ext, p.extend_batch):
             s1 = min(s0 + p.extend_batch, n_ext)
             m = s1 - s0
@@ -227,7 +240,13 @@ class MinimizerAligner:
                 ra, rl, ta, tl, band=p.band, match=p.match,
                 mismatch=p.mismatch, gap_open=p.gap_open,
                 gap_extend=p.gap_extend, batch_tile=bt, backend=p.backend)
-            scores[s0:s1] = np.asarray(sc)[:m]
+            score_parts.append(sc[:m])
+        # one device->host transfer for all extension scores
+        import jax.numpy as _jnp
+
+        scores = np.asarray(_jnp.concatenate(score_parts)
+                            if len(score_parts) > 1 else score_parts[0]
+                            ).astype(np.int64)
 
         # keep per-(read, seq, strand) winners; exact emit via native SSW
         best_per_key: dict[tuple, int] = {}
@@ -243,15 +262,21 @@ class MinimizerAligner:
         for i, r in enumerate(recs):
             read_best.setdefault(r["rid"], []).append(int(scores[i]))
 
-        out = np.zeros(len(best_per_key), ALIGN_DTYPE)
-        for row, ((rid, seq_id), i) in enumerate(best_per_key.items()):
+        # exact emit (begin/end/CIGAR/match/NM) via the native threaded
+        # banded aligner — O(band*len) per winner
+        from megapath_nano_tpu.native.banded import banded_align_batch
+
+        emit_keys = list(best_per_key.items())
+        emit_alns = banded_align_batch(
+            [ext_reads[i] for _, i in emit_keys],
+            [ext_refs[i] for _, i in emit_keys],
+            band=p.band, match=p.match, mismatch=p.mismatch,
+            gap_open=p.gap_open, gap_extend=p.gap_extend)
+
+        out = np.zeros(len(emit_keys), ALIGN_DTYPE)
+        for row, (((rid, seq_id), i), aln) in enumerate(
+                zip(emit_keys, emit_alns)):
             r = recs[i]
-            query, window = ext_reads[i], ext_refs[i]
-            aln = ssw_align(query, window, match=p.match, mismatch=p.mismatch,
-                            gap_open=p.gap_open, gap_extend=p.gap_extend,
-                            want_cigar=True)
-            matches, nm = _cigar_stats(aln.cigar, query, window,
-                                       aln.read_begin, aln.ref_begin)
             qlen = r["qlen"]
             if r["strand"] == 0:
                 read_from, read_to = aln.read_begin, aln.read_end + 1
@@ -268,8 +293,9 @@ class MinimizerAligner:
                     + 0.01 * min(f1, 2000)))
             out[row] = (
                 rid, qlen, read_from, read_to, r["strand"], seq_id,
-                int(seq_lens[seq_id]), seq_from, seq_to, matches, mapq, nm,
-                int(aln.score1), int(self.meta.assembly_idx[seq_id]),
+                int(seq_lens[seq_id]), seq_from, seq_to, aln.n_match, mapq,
+                aln.edit_dist, int(aln.score),
+                int(self.meta.assembly_idx[seq_id]),
                 int(self.meta.tax_id[seq_id]),
                 int(self.meta.species_tax_id[seq_id]),
                 int(self.meta.genus_tax_id[seq_id]),

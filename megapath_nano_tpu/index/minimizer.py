@@ -92,6 +92,43 @@ class MinimizerIndex:
         return seq_id, pos, strand
 
 
+def sketch_batch(seqs: list[np.ndarray] | np.ndarray,
+                 offsets: np.ndarray | None = None, *, k: int = 15,
+                 w: int = 10):
+    """Sketch many reads in one native call.
+
+    Returns (hashes, end_positions, strands, read_offsets) — flat arrays with
+    read r's minimizers at [read_offsets[r], read_offsets[r+1])."""
+    lib = load_native_lib()
+    if offsets is None:
+        n = len(seqs)
+        flat = (np.concatenate([np.asarray(s, np.int8) for s in seqs])
+                if n else np.zeros(0, np.int8))
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    else:
+        flat = np.ascontiguousarray(seqs, dtype=np.int8)
+        n = len(offsets) - 1
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    total = lib.mpn_sketch_batch(flat.ctypes.data_as(i8p),
+                                 offsets.ctypes.data_as(i64p), n, k, w,
+                                 None, None, None, None, 0)
+    hashes = np.zeros(total, np.uint64)
+    pos = np.zeros(total, np.int64)
+    strand = np.zeros(total, np.int8)
+    out_off = np.zeros(n + 1, np.int64)
+    if total:
+        lib.mpn_sketch_batch(flat.ctypes.data_as(i8p),
+                             offsets.ctypes.data_as(i64p), n, k, w,
+                             hashes.ctypes.data_as(u64p),
+                             pos.ctypes.data_as(i64p),
+                             strand.ctypes.data_as(i8p),
+                             out_off.ctypes.data_as(i64p), total)
+    return hashes, pos, strand, out_off
+
+
 def sketch(seq: np.ndarray, *, k: int = 15, w: int = 10):
     """Minimizers of a single sequence, in order of occurrence.
 

@@ -19,6 +19,23 @@ _lock = threading.Lock()
 _lib = None
 
 
+class MpnBandedResult(ctypes.Structure):
+    """Mirror of MpnBandedResult in cpp/mpn_banded.cc."""
+
+    _fields_ = [
+        ("score", ctypes.c_int32),
+        ("read_begin", ctypes.c_int32),
+        ("read_end", ctypes.c_int32),
+        ("ref_begin", ctypes.c_int32),
+        ("ref_end", ctypes.c_int32),
+        ("n_match", ctypes.c_int32),
+        ("n_mismatch", ctypes.c_int32),
+        ("n_ins", ctypes.c_int32),
+        ("n_del", ctypes.c_int32),
+        ("cigar_len", ctypes.c_int32),
+    ]
+
+
 class MpnAlignResult(ctypes.Structure):
     """Mirror of MpnAlignResult in cpp/mpn_ssw.cc."""
 
@@ -77,6 +94,13 @@ def _declare(lib: ctypes.CDLL) -> None:
     ]
     lib.mpn_batch_free.argtypes = [c.c_void_p]
 
+    lib.mpn_banded_align_batch.restype = c.c_int
+    lib.mpn_banded_align_batch.argtypes = [
+        i8p, i64p, i8p, i64p, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        c.c_int32, c.c_int32, c.c_int32,
+        c.POINTER(MpnBandedResult), u32p, i64p,
+    ]
+
     lib.mpn_index_build.restype = c.c_void_p
     lib.mpn_index_build.argtypes = [i8p, i64p, c.c_int32, c.c_int, c.c_int]
     lib.mpn_index_size.restype = c.c_int64
@@ -86,6 +110,11 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.mpn_sketch.restype = c.c_int64
     lib.mpn_sketch.argtypes = [
         i8p, c.c_int64, c.c_int, c.c_int, u64p, i64p, i8p, c.c_int64,
+    ]
+    lib.mpn_sketch_batch.restype = c.c_int64
+    lib.mpn_sketch_batch.argtypes = [
+        i8p, i64p, c.c_int32, c.c_int, c.c_int, u64p, i64p, i8p, i64p,
+        c.c_int64,
     ]
 
 
