@@ -192,17 +192,23 @@ class MinimizerAligner:
             q_hi = int(q_max_[g]) + 1
             t_lo = int(t_min[g]) + int(t_base[g]) - (idx.k - 1)
             t_hi = int(t_max_[g]) + int(t_base[g]) + 1
-            # extension window covering the full read projection
-            w_lo = t_lo - q_lo - p.window_pad
-            w_hi = t_hi + (qlen - q_hi) + p.window_pad
+            # extension problem: slice BOTH query and target around the
+            # chain so the alignment diagonal starts at ~(0, 0) — required
+            # by the diagonal-banded kernel, and correct for partial matches
+            # (e.g. a long query containing a short gene mid-way)
             seq_off = int(idx.seq_offsets[seq_id])
             seq_len = int(seq_lens[seq_id])
-            w_lo = max(w_lo, 0)
-            w_hi = min(w_hi, seq_len)
+            left = min(q_lo, t_lo) + p.window_pad
+            right = min(qlen - q_hi, seq_len - t_hi) + p.window_pad
+            qs = max(q_lo - left, 0)
+            qe = min(q_hi + right, qlen)
+            w_lo = max(t_lo - (q_lo - qs), 0)
+            w_hi = min(t_hi + (qe - q_hi), seq_len)
             window = idx.seq_data[seq_off + w_lo: seq_off + w_hi]
-            query = reads[rid] if strand == 0 else revcomp(reads[rid])
+            query_full = reads[rid] if strand == 0 else revcomp(reads[rid])
+            query = query_full[qs:qe]
             recs.append(dict(rid=rid, seq_id=seq_id, strand=strand,
-                             qlen=qlen, w_lo=w_lo, w_hi=w_hi,
+                             qlen=qlen, w_lo=w_lo, w_hi=w_hi, qs=qs,
                              chain_score=int(best[g])))
             ext_reads.append(query)
             ext_refs.append(window)
@@ -274,15 +280,18 @@ class MinimizerAligner:
             gap_open=p.gap_open, gap_extend=p.gap_extend)
 
         out = np.zeros(len(emit_keys), ALIGN_DTYPE)
+        cigar_map: dict = {}
         for row, (((rid, seq_id), i), aln) in enumerate(
                 zip(emit_keys, emit_alns)):
             r = recs[i]
             qlen = r["qlen"]
+            ob = r["qs"] + aln.read_begin     # oriented-frame begin/end
+            oe = r["qs"] + aln.read_end
             if r["strand"] == 0:
-                read_from, read_to = aln.read_begin, aln.read_end + 1
+                read_from, read_to = ob, oe + 1
             else:  # flip back to original read coordinates
-                read_from = qlen - (aln.read_end + 1)
-                read_to = qlen - aln.read_begin
+                read_from = qlen - (oe + 1)
+                read_to = qlen - ob
             seq_from = r["w_lo"] + aln.ref_begin
             seq_to = r["w_lo"] + aln.ref_end + 1
             ss = sorted(read_best[rid], reverse=True)
@@ -301,10 +310,13 @@ class MinimizerAligner:
                 int(self.meta.genus_tax_id[seq_id]),
                 0.0,
             )
+            cigar_map[(rid, seq_id)] = (aln.cigar, r["qs"] + aln.read_begin,
+                                        r["strand"])
         out["alignment_score_tiebreaker"] = _stable_uniform(
             p.tiebreaker_seed, out["read_id"],
             out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
             + out["sequence_from"])
         order = np.lexsort((out["sequence_id"], out["read_id"]))
         return AlignList(out[order], list(idx.seq_names),
-                         list(self.meta.assembly_names), read_names or [])
+                         list(self.meta.assembly_names), read_names or [],
+                         cigar_map)

@@ -38,12 +38,18 @@ ALIGN_DTYPE = np.dtype([
 
 @dataclass
 class AlignList:
-    """Columnar alignment set + the name tables its int columns index."""
+    """Columnar alignment set + the name tables its int columns index.
+
+    cigar_map (optional): {(read_id, sequence_id): (cigar, oriented_read_from,
+    strand)} for rows emitted with base-exact CIGARs — the oriented_read_from
+    is in the strand-oriented query frame (revcomp'd read for strand 1), as
+    needed to replay the alignment for pileup/consensus."""
 
     data: np.ndarray                      # structured array, ALIGN_DTYPE
     sequence_names: list[str] = field(default_factory=list)
     assembly_names: list[str] = field(default_factory=list)
     read_names: list[str] = field(default_factory=list)
+    cigar_map: dict | None = None
 
     def __len__(self) -> int:
         return len(self.data)
@@ -53,12 +59,12 @@ class AlignList:
 
     def filter(self, mask: np.ndarray) -> "AlignList":
         return AlignList(self.data[mask], self.sequence_names,
-                         self.assembly_names, self.read_names)
+                         self.assembly_names, self.read_names, self.cigar_map)
 
     def sort_by(self, *cols: str) -> "AlignList":
         order = np.lexsort([self.data[c] for c in reversed(cols)])
         return AlignList(self.data[order], self.sequence_names,
-                         self.assembly_names, self.read_names)
+                         self.assembly_names, self.read_names, self.cigar_map)
 
     @staticmethod
     def empty(sequence_names=None, assembly_names=None, read_names=None):

@@ -91,4 +91,5 @@ def best_align_list(
     d = combined[order]
     last = np.append(d["read_id"][1:] != d["read_id"][:-1], True)
     return AlignList(d[last], align_list.sequence_names,
-                     align_list.assembly_names, align_list.read_names)
+                     align_list.assembly_names, align_list.read_names,
+                     align_list.cigar_map)

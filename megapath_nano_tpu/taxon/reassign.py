@@ -143,7 +143,8 @@ def reassign(
 
     data["species_tax_id"] = new_species
     out = AlignList(data, align_list.sequence_names,
-                    align_list.assembly_names, align_list.read_names)
+                    align_list.assembly_names, align_list.read_names,
+                    align_list.cigar_map)
     return ReassignResult(
         out, reassigned,
         {int(species[i]): {int(species[j]) for j in js}
