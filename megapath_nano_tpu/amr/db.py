@@ -58,6 +58,38 @@ class AMRGeneDB:
             drugs = [[] for _ in genes]
         return AMRGeneDB(name, gene_names, seqs, drugs)
 
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        import numpy as np_
+
+        os.makedirs(path, exist_ok=True)
+        flat = (np_.concatenate(self.sequences) if self.sequences
+                else np_.zeros(0, np_.int8))
+        offsets = np_.zeros(len(self.sequences) + 1, np_.int64)
+        np_.cumsum([len(s) for s in self.sequences], out=offsets[1:])
+        np_.savez_compressed(os.path.join(path, "amrdb.npz"),
+                             seq=flat, offsets=offsets)
+        with open(os.path.join(path, "amrdb.json"), "w") as f:
+            json.dump({"name": self.name, "gene_names": self.gene_names,
+                       "drugs": self.drugs, "classes": self.classes}, f)
+
+    @staticmethod
+    def load(path: str) -> "AMRGeneDB":
+        import json
+        import os
+
+        import numpy as np_
+
+        z = np_.load(os.path.join(path, "amrdb.npz"))
+        with open(os.path.join(path, "amrdb.json")) as f:
+            meta = json.load(f)
+        seqs = [z["seq"][s:e] for s, e in zip(z["offsets"][:-1],
+                                              z["offsets"][1:])]
+        return AMRGeneDB(meta["name"], meta["gene_names"], seqs,
+                         meta["drugs"], meta.get("classes", []))
+
     def attach_phenotypes(self, table: dict[str, list[str]]) -> None:
         """Attach drug lists by gene-name lookup (ResFinder phenotype.txt
         style)."""

@@ -1,0 +1,180 @@
+"""mpn-tpu CLI: taxonomic profiling + AMR from a FASTQ.
+
+User-facing driver mirroring the reference's CLI surface
+(reference: bin/megapath_nano.py:4831-5146 argparse; usage README.md:111:
+`python megapath_nano.py --query reads.fq [options]`). Flag names match the
+reference where the concept carries over; TPU-specific knobs are new.
+
+  python -m megapath_nano_tpu.cli.main \
+      --query reads.fastq --db <refdb_dir> --output_folder out/ \
+      [--output_prefix p] [--reassignment] [--spike_filter] ...
+
+Build a RefDB first with `python -m megapath_nano_tpu.cli.build_db`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mpn-tpu",
+        description="TPU-native long-read metagenomics: taxonomic profiling "
+                    "and AMR detection")
+    p.add_argument("--query", required=True, action="append",
+                   help="input FASTQ/FASTA(.gz); repeatable")
+    p.add_argument("--db", required=True, help="RefDB directory")
+    p.add_argument("--human_db", help="human-genome RefDB directory")
+    p.add_argument("--decoy_db", help="decoy RefDB directory")
+    p.add_argument("--amr_db", action="append", default=[],
+                   help="AMR gene DB directory (repeatable)")
+    p.add_argument("--output_folder", default=".")
+    p.add_argument("--output_prefix", default=None)
+
+    # read filter (reference defaults, megapath_nano.py:5061-5068)
+    p.add_argument("--read_filter_min_quality", type=float, default=7.0)
+    p.add_argument("--read_filter_min_length", type=int, default=0)
+    p.add_argument("--head_crop", type=int, default=0)
+    p.add_argument("--tail_crop", type=int, default=0)
+
+    def gate(name, default=False):
+        p.add_argument(f"--{name}", dest=name, action="store_true")
+        p.add_argument(f"--no_{name}", dest=name, action="store_false")
+        p.set_defaults(**{name: default})
+
+    gate("read_filter", True)
+    gate("human_filter", False)
+    gate("decoy_filter", False)
+    gate("reassignment", False)
+    gate("spike_filter", False)
+    gate("closing_spike_filter", False)
+    gate("short_alignment_filter", False)
+    gate("unique_alignment", False)
+    gate("amr", True)
+
+    p.add_argument("--min_alignment_length", type=int, default=0)
+    p.add_argument("--human_filter_alignment_score", type=int, default=1000)
+    p.add_argument("--human_filter_alignment_score_percent", type=float,
+                   default=100.0)
+    p.add_argument("--max_aligned_reads", type=int, default=0,
+                   help="0 = no cap")
+    p.add_argument("--backend", choices=["pallas", "jnp"], default=None,
+                   help="DP backend (default: pallas on TPU, jnp otherwise)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Honor JAX_PLATFORMS even when a sitecustomize pinned another backend
+    # via jax.config (as the axon TPU-tunnel environment does).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import numpy as np
+
+    from megapath_nano_tpu.align.pipeline import AlignParams
+    from megapath_nano_tpu.db.refdb import RefDB
+    from megapath_nano_tpu.io.fastq import read_fastq
+    from megapath_nano_tpu.taxon.profiler import (ProfileOptions,
+                                                  TaxonProfiler)
+    from megapath_nano_tpu.utils.log import Log
+
+    log = Log("mpn-tpu")
+    with log.step("load_db"):
+        try:
+            db = RefDB.load(args.db)
+            human_db = RefDB.load(args.human_db) if args.human_db else None
+            decoy_db = RefDB.load(args.decoy_db) if args.decoy_db else None
+        except FileNotFoundError as e:
+            print(f"error: database not found: {e.filename}", file=sys.stderr)
+            return 2
+
+    if args.backend is None:
+        import jax
+        try:
+            args.backend = ("pallas" if jax.default_backend() == "tpu"
+                            else "jnp")
+        except RuntimeError:
+            args.backend = "jnp"
+
+    reads, names = [], []
+    lengths, quals = [], []
+    with log.step("read_input"):
+        for path in args.query:
+            batch = read_fastq(
+                path,
+                head_crop=args.head_crop, tail_crop=args.tail_crop,
+                min_length=args.read_filter_min_length,
+                min_quality=(args.read_filter_min_quality
+                             if args.read_filter else 0.0))
+            for i in range(batch.num_reads):
+                reads.append(batch.read(i))
+                names.append(batch.ids[i])
+            lengths.append(batch.lengths())
+            quals.append(batch.stats["avg_q_trimmed"])
+        if args.max_aligned_reads and len(reads) > args.max_aligned_reads:
+            reads = reads[: args.max_aligned_reads]
+            names = names[: args.max_aligned_reads]
+    log.message(f"{len(reads)} reads pass QC")
+    if not reads:
+        print("no reads after filtering", file=sys.stderr)
+        return 1
+
+    options = ProfileOptions(
+        human_filter=args.human_filter and human_db is not None,
+        decoy_filter=args.decoy_filter and decoy_db is not None,
+        human_filter_score=args.human_filter_alignment_score,
+        human_filter_score_percent=(
+            args.human_filter_alignment_score_percent / 100.0),
+        reassignment=args.reassignment,
+        spike_filter=args.spike_filter,
+        closing_spike_filter=args.closing_spike_filter,
+        short_alignment_filter=args.short_alignment_filter,
+        min_alignment_length=args.min_alignment_length,
+        unique_alignment=args.unique_alignment,
+        align=AlignParams(backend=args.backend),
+    )
+    profiler = TaxonProfiler(db, options, human_db=human_db,
+                             decoy_db=decoy_db, log=log)
+    result = profiler.profile(reads, names)
+
+    prefix = args.output_prefix or os.path.splitext(
+        os.path.basename(args.query[0]))[0]
+    paths = profiler.write_reports(
+        result, args.output_folder, prefix,
+        read_lengths=np.concatenate(lengths) if lengths else None)
+
+    if args.amr and args.amr_db and len(result.best):
+        from megapath_nano_tpu.amr.db import AMRGeneDB
+        from megapath_nano_tpu.amr.module import run_amr
+
+        with log.step("amr"):
+            dbs = []
+            for d in args.amr_db:
+                dbs.append(AMRGeneDB.load(d) if os.path.isdir(d)
+                           else AMRGeneDB.from_fasta(
+                               os.path.splitext(os.path.basename(d))[0], d))
+            target_seqs = {}
+            idx = db.index
+            for seq_id in np.unique(result.best.data["sequence_id"]):
+                s0 = int(idx.seq_offsets[seq_id])
+                s1 = int(idx.seq_offsets[seq_id + 1])
+                target_seqs[int(seq_id)] = idx.seq_data[s0:s1]
+            amr_res = run_amr(result.best, reads, target_seqs, dbs,
+                              backend=args.backend)
+            paths["amr"] = amr_res.write(args.output_folder, prefix)
+
+    with open(os.path.join(args.output_folder, f"{prefix}.timing"), "w") as f:
+        f.write(log.timing_table() + "\n")
+    log.message("outputs: " + ", ".join(sorted(paths.values())))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

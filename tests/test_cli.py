@@ -1,0 +1,99 @@
+"""CLI end-to-end: build DBs from FASTA, run the full pipeline, check the
+output surface."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from megapath_nano_tpu.io.fastq import write_fasta, write_fastq
+from megapath_nano_tpu.utils.dna import mutate, random_sequence, revcomp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""))
+
+
+def _run(args):
+    return subprocess.run([sys.executable, "-m"] + args, env=ENV, cwd=REPO,
+                          capture_output=True, text=True, timeout=300)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cliworld")
+    rng = np.random.default_rng(0)
+    gene = random_sequence(rng, 800)
+    g1 = np.concatenate([random_sequence(rng, 12000), gene,
+                         random_sequence(rng, 4000)])
+    g2 = random_sequence(rng, 15000)
+    write_fasta(str(tmp / "asm1.fna"), ["chr1"], [g1])
+    write_fasta(str(tmp / "asm2.fna"), ["chr2"], [g2])
+    with open(tmp / "meta.tsv", "w") as f:
+        f.write("asmA\t100\t10\t1\tSpecies foo\n")
+        f.write("asmB\t200\t20\t2\tSpecies bar\n")
+    write_fasta(str(tmp / "genes.fna"), ["blaX"], [gene])
+    with open(tmp / "pheno.tsv", "w") as f:
+        f.write("blaX\tampicillin;cephalothin\n")
+
+    reads, quals = [], []
+    for _ in range(50):
+        g, genome = (0, g1) if rng.random() < 0.7 else (1, g2)
+        s = int(rng.integers(0, len(genome) - 800))
+        r = mutate(rng, genome[s: s + 800], 0.03, 0.015, 0.015)
+        if rng.integers(0, 2):
+            r = revcomp(r)
+        reads.append(r)
+        quals.append(np.full(len(r), 25, np.int8))
+    # one junk low-quality read that must be QC-filtered
+    junk = random_sequence(rng, 500)
+    reads.append(junk)
+    quals.append(np.full(500, 3, np.int8))
+    write_fastq(str(tmp / "reads.fastq"),
+                [f"read{i}" for i in range(len(reads))], reads, quals)
+    return tmp
+
+
+def test_build_and_run(world):
+    r = _run(["megapath_nano_tpu.cli.build_db", "ref",
+              "--fasta", str(world / "asm1.fna"),
+              "--fasta", str(world / "asm2.fna"),
+              "--metadata", str(world / "meta.tsv"),
+              "--out", str(world / "refdb")])
+    assert r.returncode == 0, r.stderr
+    assert "2 assemblies" in r.stdout
+
+    r = _run(["megapath_nano_tpu.cli.build_db", "amr",
+              "--name", "resfinder", "--fasta", str(world / "genes.fna"),
+              "--phenotypes", str(world / "pheno.tsv"),
+              "--out", str(world / "amrdb")])
+    assert r.returncode == 0, r.stderr
+
+    out = world / "out"
+    r = _run(["megapath_nano_tpu.cli.main",
+              "--query", str(world / "reads.fastq"),
+              "--db", str(world / "refdb"),
+              "--amr_db", str(world / "amrdb"),
+              "--output_folder", str(out),
+              "--output_prefix", "demo",
+              "--backend", "jnp"])
+    assert r.returncode == 0, r.stderr
+
+    preport = open(out / "demo.preport").read().splitlines()
+    assert preport[0].startswith("species_tax_id")
+    assert preport[1].split("\t")[0] == "10"      # dominant species first
+    assert "Species foo" in preport[1]
+    assert any(line.split("\t")[0] == "20" for line in preport[1:])
+
+    results = open(out / "demo.results.csv").read()
+    assert "AMPICILLIN" in results and "blaX" in results
+    assert "CEPHALOTHIN" in results
+
+    read_list = open(out / "demo.read_list").read().splitlines()
+    assert len(read_list) == 51  # header + 50 QC-passing reads
+    # the junk read never reached the pipeline: category table shows 50 input
+    read_stat = open(out / "demo.read_stat").read()
+    assert "input\t50" in read_stat
+    assert os.path.exists(out / "demo.timing")
