@@ -1,0 +1,220 @@
+"""Genome-vs-genome noise filters (reference steps 8, 10, 12, 21).
+
+The reference runs minimap2 genome-to-genome at divergence-specific presets
+(reference: bin/megapath_nano.py:221-241 similarity_option maps similarity %
+to minimap2 scoring hacks) for:
+
+  step 8   variable-region detection within a species' strains (:1572-1758)
+  step 10  human-repetitive regions: GRCh38 aligned to each assembly
+           (:1809-1932, asm20 preset, -N 10000)
+  step 12  microbe-repetitive regions between abundance-skewed pairs
+           (:1968-2246, abundance-ratio ladder :2023-2055)
+  step 21  similar-species marker (:2756-2943)
+
+TPU-native realization: the source genome is tiled into overlapping chunks
+that run through the standard seed-chain-extend pipeline against the target
+index; "align at X% similarity" becomes an identity >= X% post-filter on the
+emitted blocks (equivalent selection criterion, no scoring-matrix hacks).
+Covered regions on the target become BED intervals for the noise stack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from megapath_nano_tpu.align.pipeline import AlignParams, MinimizerAligner
+from megapath_nano_tpu.align.records import AlignList
+from megapath_nano_tpu.index.minimizer import MinimizerIndex
+from megapath_nano_tpu.taxon.intervals import (BED_DTYPE, depth_segments,
+                                               make_bed, merge_bed)
+
+# Abundance-ratio ladder (reference defaults, megapath_nano.py:5090-5095):
+# (min_ratio, similarity, same_genus_only)
+RATIO_LADDER = [
+    (160.0, 0.80, False),
+    (80.0, 0.90, False),
+    (40.0, 0.95, False),
+    (16.0, 0.98, True),
+    (8.0, 0.99, False),
+    (6.4, 0.992, False),
+]
+
+
+def chunk_genome(seq: np.ndarray, *, chunk: int = 10000,
+                 overlap: int = 1000) -> list[np.ndarray]:
+    """Tile a genome into overlapping pseudo-reads."""
+    if len(seq) <= chunk:
+        return [seq]
+    out = []
+    step = chunk - overlap
+    for s in range(0, len(seq) - overlap, step):
+        out.append(seq[s: s + chunk])
+    return out
+
+
+def align_genome_to_index(
+    source: np.ndarray,
+    target_index: MinimizerIndex,
+    *,
+    min_identity: float = 0.0,
+    backend: str = "jnp",
+    chunk: int = 10000,
+) -> AlignList:
+    """Chunked whole-genome alignment; blocks below min_identity dropped."""
+    chunks = chunk_genome(source, chunk=chunk)
+    params = AlignParams(backend=backend, min_chain_score=40,
+                         max_alignments_per_read=20)
+    aligner = MinimizerAligner(target_index, params=params)
+    res = aligner.map_reads(chunks)
+    if len(res) and min_identity > 0:
+        d = res.data
+        span = d["sequence_to"] - d["sequence_from"]
+        ident = np.where(span > 0, d["match"] / np.maximum(span, 1), 0.0)
+        res = res.filter(ident >= min_identity)
+    return res
+
+
+def covered_bed(align_list: AlignList,
+                seq_assembly: np.ndarray) -> np.ndarray:
+    """Covered target regions as a merged bed (assembly from seq mapping)."""
+    if len(align_list) == 0:
+        return np.zeros(0, BED_DTYPE)
+    d = align_list.data
+    return merge_bed(make_bed(seq_assembly[d["sequence_id"]].astype(np.int32),
+                              d["sequence_id"], d["sequence_from"],
+                              d["sequence_to"]))
+
+
+def human_repetitive_bed(
+    human_seqs: list[np.ndarray],
+    target_index: MinimizerIndex,
+    seq_assembly: np.ndarray,
+    *,
+    backend: str = "jnp",
+) -> np.ndarray:
+    """Step 10: regions of target assemblies that the human genome aligns to
+    (asm-level similarity; reference uses asm20 ~ 80% identity floor)."""
+    beds = []
+    for hseq in human_seqs:
+        al = align_genome_to_index(hseq, target_index, min_identity=0.80,
+                                   backend=backend)
+        beds.append(covered_bed(al, seq_assembly))
+    if not beds:
+        return np.zeros(0, BED_DTYPE)
+    return merge_bed(np.concatenate(beds))
+
+
+def microbe_repetitive_beds(
+    assemblies: dict[int, list[np.ndarray]],   # assembly_id -> sequences
+    abundances: dict[int, float],              # adjusted_total_aligned_bp
+    genus_of: dict[int, int],
+    target_index_of: dict[int, MinimizerIndex],
+    seq_assembly_of: dict[int, np.ndarray],
+    *,
+    backend: str = "jnp",
+) -> np.ndarray:
+    """Step 12: for each (high, low) abundance pair passing the ratio
+    ladder, regions of the LOW assembly covered by the HIGH genome at the
+    ladder similarity become noise on the low assembly."""
+    beds = []
+    ids = sorted(abundances, key=lambda a: -abundances[a])
+    for hi_pos, high in enumerate(ids):
+        for low in ids[hi_pos + 1:]:
+            ab_h, ab_l = abundances[high], abundances[low]
+            if ab_l <= 0:
+                continue
+            ratio = ab_h / ab_l
+            sim = None
+            for min_ratio, similarity, same_genus in RATIO_LADDER:
+                if ratio >= min_ratio and (
+                        not same_genus
+                        or genus_of.get(high) == genus_of.get(low)):
+                    sim = similarity
+                    break
+            if sim is None:
+                continue
+            index = target_index_of[low]
+            for hseq in assemblies[high]:
+                al = align_genome_to_index(hseq, index, min_identity=sim,
+                                           backend=backend)
+                if len(al):
+                    bed = covered_bed(al, seq_assembly_of[low])
+                    bed["assembly_id"] = low
+                    beds.append(bed)
+    if not beds:
+        return np.zeros(0, BED_DTYPE)
+    return merge_bed(np.concatenate(beds))
+
+
+def variable_region_bed(
+    strain_seqs: dict[int, list[np.ndarray]],    # assembly_id -> sequences
+    target_index: MinimizerIndex,                # index of the CHOSEN assembly
+    seq_assembly: np.ndarray,
+    chosen_assembly: int,
+    *,
+    min_strain_fraction: float = 0.5,
+    backend: str = "jnp",
+) -> np.ndarray:
+    """Step 8: region of the chosen assembly is VARIABLE if fewer than
+    min_strain_fraction of the species' other strains align over it."""
+    others = [a for a in strain_seqs if a != chosen_assembly]
+    if not others:
+        return np.zeros(0, BED_DTYPE)
+    per_strain_beds = []
+    for a in others:
+        beds = []
+        for seq in strain_seqs[a]:
+            al = align_genome_to_index(seq, target_index, backend=backend)
+            beds.append(covered_bed(al, seq_assembly))
+        if beds:
+            per_strain_beds.append(merge_bed(np.concatenate(beds)))
+    if not per_strain_beds:
+        return np.zeros(0, BED_DTYPE)
+    stacked = np.concatenate(per_strain_beds)
+    segs = depth_segments(stacked)
+    need = min_strain_fraction * len(per_strain_beds)
+    # variable = covered by fewer than `need` strains — includes totally
+    # uncovered regions; compute as complement of well-covered segments
+    well = segs[segs["depth"] >= need]
+    from megapath_nano_tpu.taxon.intervals import subtract_bed
+
+    lens = target_index.seq_lengths
+    full = make_bed(
+        np.full(len(lens), chosen_assembly, np.int32),
+        np.arange(len(lens), dtype=np.int32),
+        np.zeros(len(lens), np.int64), np.asarray(lens, np.int64))
+    well_bed = np.zeros(len(well), BED_DTYPE)
+    for f in BED_DTYPE.names:
+        well_bed[f] = well[f]
+    return subtract_bed(full, well_bed)
+
+
+def similar_species_marker(
+    top_assembly_seqs: list[np.ndarray],
+    sibling_index: MinimizerIndex,
+    sibling_seq_assembly: np.ndarray,
+    sibling_lengths: dict[int, int],
+    *,
+    cond1=(0.98, 0.5),
+    cond2=(0.95, 0.75),
+    backend: str = "jnp",
+) -> dict[int, bool]:
+    """Step 21: mark sibling assemblies similar to the genus-top assembly:
+    similar if covered fraction >= 50% at 98% identity (cond 1) OR >= 75% at
+    95% identity (cond 2) — OR-combined (reference defaults :5123-5128)."""
+    marks: dict[int, bool] = {}
+    for ident, min_cov in (cond1, cond2):
+        beds = []
+        for seq in top_assembly_seqs:
+            al = align_genome_to_index(seq, sibling_index,
+                                       min_identity=ident, backend=backend)
+            beds.append(covered_bed(al, sibling_seq_assembly))
+        if not beds:
+            continue
+        merged = merge_bed(np.concatenate(beds))
+        for aid, length in sibling_lengths.items():
+            cov = merged[merged["assembly_id"] == aid]
+            cov_bp = int((cov["end"] - cov["start"]).sum())
+            if length > 0 and cov_bp / length >= min_cov:
+                marks[aid] = True
+    return marks

@@ -58,6 +58,9 @@ class ProfileOptions:
     reassignment: bool = False              # --reassignment (off, :5000)
     spike_filter: bool = False              # --spike_filter (off, :4989)
     spike_stdev: float = 6.0                # mean + k*sqrt(mean) (:5100)
+    human_repetitive_filter: bool = False   # step 10 (off, :4990)
+    microbe_repetitive_filter: bool = False  # step 12 (off, :4991)
+    similar_species_marker: bool = False    # step 21 (off)
     closing_spike_filter: bool = False      # off (:4992)
     closing_spike_stdev: float = 9.0        # (:5109)
     short_alignment_filter: bool = False    # off
@@ -86,6 +89,11 @@ class ProfileResult:
     unique_read_ids: np.ndarray = None      # step 19 (if enabled)
     human_best: AlignList | None = None
     decoy_best: AlignList | None = None
+    # noise bookkeeping (steps 22-25)
+    noise_sources: dict = field(default_factory=dict)   # name -> bed
+    n_noise_alignments: int = 0
+    max_stat: np.ndarray | None = None      # step 25 upper-bound abundance
+    similar_marks: dict = field(default_factory=dict)   # assembly -> bool
 
 
 def _best_as_per_read(align_list: AlignList) -> dict[int, int]:
@@ -183,14 +191,33 @@ class TaxonProfiler:
                     error_rate=opt.reassign_error_rate,
                     as_threshold=opt.reassign_as_threshold).align_list
 
-        # step 9: spike filter -> noise bed
-        noise_bed = None
+        # noise stack (steps 8-12): named noise sources accumulate
+        noise_sources: dict[str, np.ndarray] = {}
         if opt.spike_filter and len(align_list):
             with log.step("spike_filter"):
-                noise_bed = spike_filter_bed(align_list, info,
-                                             stdev=opt.spike_stdev)
+                bed = spike_filter_bed(align_list, info,
+                                       stdev=opt.spike_stdev)
+                if len(bed):
+                    noise_sources["spike"] = bed
+        if opt.human_repetitive_filter and self.human_db is not None \
+                and len(align_list):
+            with log.step("human_repetitive_filter"):
+                bed = self._human_repetitive_bed(align_list)
+                if len(bed):
+                    noise_sources["human_repetitive"] = bed
+        if opt.microbe_repetitive_filter and len(align_list):
+            with log.step("microbe_repetitive_filter"):
+                bed = self._microbe_repetitive_bed(align_list, info)
+                if len(bed):
+                    noise_sources["microbe_repetitive"] = bed
+
+        noise_bed = None
+        if noise_sources:
+            noise_bed = merge_bed(np.concatenate(list(
+                noise_sources.values())))
 
         # step 13: noise removal (always; no-op without noise)
+        n_noise_alignments = 0
         if noise_bed is not None and len(noise_bed) and len(align_list):
             q = make_bed(align_list.data["assembly_id"],
                          align_list.data["sequence_id"],
@@ -199,8 +226,12 @@ class TaxonProfiler:
             ov = overlap_bp(q, noise_bed)
             span = (align_list.data["sequence_to"]
                     - align_list.data["sequence_from"])
-            align_list = align_list.filter(
-                ov <= opt.noise_overlap_fraction * span)
+            keep_mask = ov <= opt.noise_overlap_fraction * span
+            n_noise_alignments = int((~keep_mask).sum())
+            pre_noise_align = align_list
+            align_list = align_list.filter(keep_mask)
+        else:
+            pre_noise_align = align_list
 
         # step 14: short alignment removal
         if opt.short_alignment_filter and len(align_list):
@@ -267,6 +298,18 @@ class TaxonProfiler:
 
         with log.step("statistics"):
             stat = align_stat_by_assembly(best, info, noise_bed)
+            # step 25: upper-bound abundance over best + noise alignments
+            # (max_adjusted_abundance, megapath_nano.py:3183-3202)
+            max_stat = None
+            if noise_bed is not None and len(noise_bed):
+                max_best = best_align_list(pre_noise_align, info, None)
+                max_stat = align_stat_by_assembly(max_best, info, None)
+
+        # step 21: similar-species marker (top genera's siblings)
+        similar_marks: dict[int, bool] = {}
+        if opt.similar_species_marker and len(stat):
+            with log.step("similar_species_marker"):
+                similar_marks = self._similar_species_marks(stat)
 
         return ProfileResult(
             align_list=align_list, best=best, stat=stat,
@@ -274,7 +317,121 @@ class TaxonProfiler:
             n_reads_aligned=n_aligned,
             human_read_ids=human_ids, decoy_read_ids=decoy_ids,
             unique_read_ids=unique_ids,
-            human_best=human_best, decoy_best=decoy_best)
+            human_best=human_best, decoy_best=decoy_best,
+            noise_sources=noise_sources,
+            n_noise_alignments=n_noise_alignments,
+            max_stat=max_stat, similar_marks=similar_marks)
+
+    # -- genome-vs-genome helpers ----------------------------------------
+    def _assembly_seqs(self, db: RefDB, assembly_id: int):
+        idx = db.index
+        sa = db.seq_assembly
+        out = []
+        for sid in np.flatnonzero(sa == assembly_id):
+            s0 = int(idx.seq_offsets[sid])
+            s1 = int(idx.seq_offsets[sid + 1])
+            out.append(idx.seq_data[s0:s1])
+        return out
+
+    def _human_repetitive_bed(self, align_list: AlignList):
+        """Step 10: align the human genome against the selected assemblies'
+        index; covered regions become noise (megapath_nano.py:1809-1932)."""
+        from megapath_nano_tpu.taxon.genome_filters import \
+            human_repetitive_bed
+
+        human_seqs = []
+        hidx = self.human_db.index
+        for sid in range(len(hidx.seq_names)):
+            s0 = int(hidx.seq_offsets[sid])
+            s1 = int(hidx.seq_offsets[sid + 1])
+            human_seqs.append(hidx.seq_data[s0:s1])
+        return human_repetitive_bed(
+            human_seqs, self.db.index, self.db.seq_assembly,
+            backend=self.options.align.backend)
+
+    def _microbe_repetitive_bed(self, align_list: AlignList, info):
+        """Step 12: abundance-ratio ladder between present assemblies
+        (megapath_nano.py:1968-2246)."""
+        from megapath_nano_tpu.index.minimizer import MinimizerIndex
+        from megapath_nano_tpu.taxon.genome_filters import \
+            microbe_repetitive_beds
+
+        pre_stat = align_stat_by_assembly(align_list, info, None)
+        abundances = {int(r["assembly_id"]): float(r["adjusted_total_aligned_bp"])
+                      for r in pre_stat}
+        # cap to the top assemblies to bound pairwise work
+        top = sorted(abundances, key=lambda a: -abundances[a])[:8]
+        abundances = {a: abundances[a] for a in top}
+        assemblies = {a: self._assembly_seqs(self.db, a) for a in top}
+        genus_of = {a: int(self.db.assembly_tax[a, 2]) for a in top}
+        idx_of = {}
+        sa_of = {}
+        for a in top:
+            seqs = assemblies[a]
+            idx_of[a] = MinimizerIndex.build(
+                seqs, [f"a{a}s{i}" for i in range(len(seqs))])
+            sa_of[a] = np.full(len(seqs), a, np.int32)
+        bed = microbe_repetitive_beds(
+            assemblies, abundances, genus_of, idx_of, sa_of,
+            backend=self.options.align.backend)
+        if len(bed):
+            # sequence ids in the per-assembly indexes are local; map back to
+            # global sequence ids of the main db
+            for a in top:
+                local = bed["assembly_id"] == a
+                if local.any():
+                    global_ids = np.flatnonzero(self.db.seq_assembly == a)
+                    bed["sequence_id"][local] = global_ids[
+                        bed["sequence_id"][local]]
+        return bed
+
+    def _similar_species_marks(self, stat) -> dict[int, bool]:
+        """Step 21: within each of the top genera, mark assemblies similar
+        to the genus-dominant assembly (megapath_nano.py:2756-2943)."""
+        from megapath_nano_tpu.index.minimizer import MinimizerIndex
+        from megapath_nano_tpu.taxon.genome_filters import \
+            similar_species_marker
+
+        order = np.argsort(-stat["adjusted_total_aligned_bp"], kind="stable")
+        top_genera = []
+        for row in stat[order]:
+            g = int(row["genus_tax_id"])
+            if g not in top_genera:
+                top_genera.append(g)
+            if len(top_genera) >= 3:
+                break
+        marks: dict[int, bool] = {}
+        for g in top_genera:
+            rows = stat[stat["genus_tax_id"] == g]
+            if len(rows) == 0:
+                continue
+            rows = rows[np.argsort(-rows["adjusted_total_aligned_bp"],
+                                   kind="stable")]
+            top_asm = int(rows[0]["assembly_id"])
+            # siblings: every OTHER assembly of this genus in the database
+            # (the reference aligns against the genus genome set, not just
+            # assemblies with reads — megapath_nano.py:2818-2938)
+            sibs = [a for a in range(len(self.db.assembly_names))
+                    if int(self.db.assembly_tax[a, 2]) == g and a != top_asm]
+            if not sibs:
+                continue
+            sib_seqs, sib_sa, sib_lens = [], [], {}
+            for a in sibs:
+                seqs = self._assembly_seqs(self.db, a)
+                for s in seqs:
+                    sib_seqs.append(s)
+                    sib_sa.append(a)
+                sib_lens[a] = int(sum(len(s) for s in seqs))
+            if not sib_seqs:
+                continue
+            sib_index = MinimizerIndex.build(
+                sib_seqs, [f"s{i}" for i in range(len(sib_seqs))])
+            got = similar_species_marker(
+                self._assembly_seqs(self.db, top_asm), sib_index,
+                np.array(sib_sa, np.int32), sib_lens,
+                backend=self.options.align.backend)
+            marks.update(got)
+        return marks
 
     def write_reports(self, result: ProfileResult, out_dir: str,
                       prefix: str = "out",
@@ -310,6 +467,37 @@ class TaxonProfiler:
             categories["unique"] = {"reads": len(result.unique_read_ids),
                                     "bp": 0}
         write_read_stat(paths["read_stat"], categories)
+
+        # noise statistics (steps 22-24, megapath_nano.py:2944-3175)
+        if result.noise_sources:
+            paths["noise_stat"] = os.path.join(out_dir,
+                                               f"{prefix}.noise_stat")
+            from megapath_nano_tpu.taxon.intervals import \
+                covered_bp_by_assembly
+
+            with open(paths["noise_stat"], "w") as f:
+                f.write("source\tassembly_id\tnoise_span_bp\n")
+                for source, bed in result.noise_sources.items():
+                    for aid, bp in sorted(
+                            covered_bp_by_assembly(bed).items()):
+                        name = self.db.assembly_names[aid] \
+                            if aid < len(self.db.assembly_names) else str(aid)
+                        f.write(f"{source}\t{name}\t{bp}\n")
+                f.write(f"#removed_alignments\t{result.n_noise_alignments}\n")
+        if result.max_stat is not None:
+            paths["max_microbe_stat"] = os.path.join(
+                out_dir, f"{prefix}.max_microbe_stat")
+            write_microbe_stat(paths["max_microbe_stat"], result.max_stat,
+                               self.db.assembly_names)
+        if result.similar_marks:
+            paths["similar_species"] = os.path.join(
+                out_dir, f"{prefix}.similar_species")
+            with open(paths["similar_species"], "w") as f:
+                f.write("assembly_id\tsimilar_to_genus_top\n")
+                for aid, mark in sorted(result.similar_marks.items()):
+                    name = self.db.assembly_names[aid] \
+                        if aid < len(self.db.assembly_names) else str(aid)
+                    f.write(f"{name}\t{int(bool(mark))}\n")
 
         # per-read list with category flags (read_list, ref :2472-2548)
         with open(paths["read_list"], "w") as f:
