@@ -101,6 +101,43 @@ def call_variants(
     return calls
 
 
+def call_variants_af(
+    align_list: AlignList,
+    reads: list[np.ndarray],
+    sequence_id: int,
+    ref_seq: np.ndarray,
+    *,
+    min_af: float = 0.125,
+    min_depth: int = 4,
+    het_af: float = 0.25,
+    hom_af: float = 0.75,
+) -> list[VariantCall]:
+    """Allele-frequency threshold caller (no NN) — the fallback when no
+    trained model is available, approximating bcftools `call -mv` majority
+    behavior (the reference's AMR consensus path, megapath_nano_amr.py:43)."""
+    cands = extract_candidates(align_list, reads, sequence_id, ref_seq,
+                               min_af=min_af, min_depth=min_depth)
+    calls = []
+    for c in cands:
+        ctx = c.context[len(c.context) // 2]      # (6, 2) at the position
+        base_counts = ctx[:4].sum(axis=1)
+        ref_b = c.ref_base
+        alt_b = int(np.argmax(
+            [cnt if b != ref_b else -1 for b, cnt in enumerate(base_counts)]))
+        alt_count = int(base_counts[alt_b])
+        depth = max(int(ctx[5].sum()), 1)
+        af = alt_count / depth
+        if af < het_af:
+            continue
+        gt = "1/1" if af >= hom_af else "0/1"
+        qual = float(min(60.0, 10.0 * alt_count))
+        calls.append(VariantCall(
+            sequence_id=sequence_id, position=c.position, ref_base=ref_b,
+            alt="ACGT"[alt_b], genotype=gt, quality=qual, depth=depth,
+            alt_fraction=af))
+    return calls
+
+
 def write_vcf(path: str, calls: list[VariantCall],
               seq_names: list[str]) -> None:
     """Minimal VCF 4.2 writer (the reference emits VCF via call_var.py)."""
