@@ -36,6 +36,17 @@ class MpnBandedResult(ctypes.Structure):
     ]
 
 
+class MpnRealignResult(ctypes.Structure):
+    """Mirror of MpnRealignResult in cpp/mpn_realigner.cc."""
+
+    _fields_ = [
+        ("hap_index", ctypes.c_int32),
+        ("ref_pos", ctypes.c_int32),
+        ("score", ctypes.c_int32),
+        ("cigar_len", ctypes.c_int32),
+    ]
+
+
 class MpnAlignResult(ctypes.Structure):
     """Mirror of MpnAlignResult in cpp/mpn_ssw.cc."""
 
@@ -111,6 +122,17 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.mpn_sketch.argtypes = [
         i8p, c.c_int64, c.c_int, c.c_int, u64p, i64p, i8p, c.c_int64,
     ]
+    lib.mpn_dbg_haplotypes.restype = c.c_int32
+    lib.mpn_dbg_haplotypes.argtypes = [
+        i8p, c.c_int32, i8p, i64p, i8p, c.c_int32, c.c_int32, c.c_int32,
+        c.c_int32, c.c_int32, c.c_int32, i8p, i64p, c.c_int64,
+    ]
+    lib.mpn_realign_reads.restype = c.c_int
+    lib.mpn_realign_reads.argtypes = [
+        i8p, i64p, c.c_int32, i8p, c.c_int32, i8p, i64p, c.c_int32,
+        c.c_int32, c.POINTER(MpnRealignResult), u32p, i64p,
+    ]
+
     lib.mpn_sketch_batch.restype = c.c_int64
     lib.mpn_sketch_batch.argtypes = [
         i8p, i64p, c.c_int32, c.c_int, c.c_int, u64p, i64p, i8p, i64p,
