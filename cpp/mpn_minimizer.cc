@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <thread>
 
 namespace {
 
@@ -141,6 +142,29 @@ void mpn_index_copy(void* h, uint64_t* keys_out, uint64_t* pos_out) {
   memcpy(pos_out, idx->positions.data(), idx->positions.size() * sizeof(uint64_t));
 }
 void mpn_index_free(void* h) { delete (IndexBuild*)h; }
+
+// Threaded batch binary search: for each query hash, [lo, hi) range of equal
+// keys in the sorted table (the seed-lookup hot loop).
+void mpn_lookup(const uint64_t* keys, int64_t n_keys, const uint64_t* queries,
+                int64_t n_q, int64_t* lo_out, int64_t* hi_out,
+                int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  auto work = [&](int tid) {
+    int64_t chunk = (n_q + n_threads - 1) / n_threads;
+    int64_t s = tid * chunk, e = std::min(n_q, s + chunk);
+    for (int64_t i = s; i < e; ++i) {
+      uint64_t q = queries[i];
+      const uint64_t* lo =
+          std::lower_bound(keys, keys + n_keys, q);
+      const uint64_t* hi = std::upper_bound(lo, keys + n_keys, q);
+      lo_out[i] = lo - keys;
+      hi_out[i] = hi - keys;
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& t : threads) t.join();
+}
 
 // Batch sketch: concatenated reads + offsets -> concatenated minimizers with
 // per-read offsets. Two-phase: call with hashes_out == NULL to get required

@@ -110,6 +110,85 @@ def chain_scores(
     return f, parent, best_score, best_idx
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "k", "max_dist", "bandwidth"),
+)
+def chain_and_extents(q_pos, t_pos, n_anchors, *, window: int = 32,
+                      k: int = 15, max_dist: int = 5000,
+                      bandwidth: int = 500):
+    """Single-pass chaining WITH extents: chain start coordinates and length
+    propagate through the DP alongside the score (no parent matrix, no
+    backtrack pass). Returns (6, N) int32
+    [best, q_min, q_max, t_min, t_max, chain_len]."""
+    n, a = q_pos.shape
+    idx = jnp.arange(a, dtype=jnp.int32)
+    valid = idx[None, :] < n_anchors[:, None]
+
+    def gather(win, j):
+        return jnp.take_along_axis(win, j[:, None], axis=1)[:, 0]
+
+    def body(carry, i):
+        f_win, q_win, t_win, live_win, qmin_win, tmin_win, cnt_win = carry
+        qi = q_pos[:, i][:, None]
+        ti = t_pos[:, i][:, None]
+        dq = qi - q_win
+        dt = ti - t_win
+        dd = jnp.abs(dq - dt)
+        ok = (dq > 0) & (dt > 0) & (dq <= max_dist) & (dt <= max_dist) \
+            & (dd <= bandwidth) & live_win
+        alpha = jnp.minimum(jnp.minimum(dq, dt), k)
+        log_dd = jnp.where(dd > 0,
+                           jnp.log2(jnp.maximum(dd, 1).astype(jnp.float32)),
+                           0.0)
+        beta = (0.01 * k) * dd.astype(jnp.float32) + 0.5 * log_dd
+        cand = jnp.where(ok, f_win + alpha - beta.astype(jnp.int32), NEG)
+        best_prev = jnp.max(cand, axis=1)
+        best_j = jnp.argmax(cand, axis=1)
+        has = best_prev >= k
+        fi = jnp.maximum(best_prev, jnp.int32(k))
+        qv = q_pos[:, i]
+        tv = t_pos[:, i]
+        qmin_i = jnp.where(has, gather(qmin_win, best_j), qv)
+        tmin_i = jnp.where(has, gather(tmin_win, best_j), tv)
+        cnt_i = jnp.where(has, gather(cnt_win, best_j) + 1, 1)
+        row_valid = valid[:, i]
+        fi = jnp.where(row_valid, fi, NEG)
+
+        def slide(win, new):
+            return jnp.concatenate([win[:, 1:], new[:, None]], axis=1)
+
+        carry = (slide(f_win, fi), slide(q_win, qv), slide(t_win, tv),
+                 slide(live_win, row_valid), slide(qmin_win, qmin_i),
+                 slide(tmin_win, tmin_i), slide(cnt_win, cnt_i))
+        return carry, (fi, qmin_i, tmin_i, cnt_i)
+
+    init = (
+        jnp.full((n, window), NEG, jnp.int32),
+        jnp.zeros((n, window), jnp.int32),
+        jnp.zeros((n, window), jnp.int32),
+        jnp.zeros((n, window), bool),
+        jnp.zeros((n, window), jnp.int32),
+        jnp.zeros((n, window), jnp.int32),
+        jnp.zeros((n, window), jnp.int32),
+    )
+    _, (f_t, qmin_t, tmin_t, cnt_t) = jax.lax.scan(
+        body, init, jnp.arange(a, dtype=jnp.int32))
+    f = jnp.transpose(f_t)
+    f_masked = jnp.where(valid, f, NEG)
+    best = jnp.max(f_masked, axis=1)
+    best_idx = jnp.argmax(f_masked, axis=1)
+    bi = best_idx[:, None]
+    q_max = jnp.take_along_axis(q_pos, bi, axis=1)[:, 0]
+    t_max = jnp.take_along_axis(t_pos, bi, axis=1)[:, 0]
+    q_min = jnp.take_along_axis(jnp.transpose(qmin_t), bi, axis=1)[:, 0]
+    t_min = jnp.take_along_axis(jnp.transpose(tmin_t), bi, axis=1)[:, 0]
+    cnt = jnp.take_along_axis(jnp.transpose(cnt_t), bi, axis=1)[:, 0]
+    best = jnp.maximum(best, 0)
+    return jnp.stack([best.astype(jnp.int32), q_min, q_max, t_min, t_max,
+                      cnt])
+
+
 @jax.jit
 def chain_extents(q_pos, t_pos, parent, best_idx):
     """Device-side chain backtrack: follow parent pointers from best_idx and

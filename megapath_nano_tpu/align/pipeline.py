@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from megapath_nano_tpu.align.anchors import collect_anchors, pack_groups
-from megapath_nano_tpu.align.chain import chain_extents, chain_scores
+from megapath_nano_tpu.align.chain import chain_and_extents
 from megapath_nano_tpu.align.records import ALIGN_DTYPE, AlignList
 from megapath_nano_tpu.index.minimizer import MinimizerIndex
 from megapath_nano_tpu.kernels.sw import banded_sw_scores
@@ -34,7 +34,7 @@ class AlignParams:
     mismatch: int = 4
     gap_open: int = 4
     gap_extend: int = 2
-    band: int = 256
+    band: int | None = None    # None = auto by read length (128/256/512)
     max_occ: int = 64
     min_group_anchors: int = 3
     min_chain_score: int = 40
@@ -139,8 +139,14 @@ class MinimizerAligner:
             return AlignList.empty(idx.seq_names, self.meta.assembly_names,
                                    read_names or [])
 
-        qg, tg, cnt, t_base, _sel = pack_groups(
-            groups, max_anchors=p.max_anchors_per_group)
+        # bucket the anchor dimension: scan length = smallest power of two
+        # covering the largest group (capped) — typical reads need 32-64,
+        # not the 256 worst case
+        sizes = np.diff(groups.group_offsets)
+        a_bucket = 32
+        while a_bucket < min(int(sizes.max()), p.max_anchors_per_group):
+            a_bucket *= 2
+        qg, tg, cnt, t_base, _sel = pack_groups(groups, max_anchors=a_bucket)
         # chain in fixed-size chunks: exactly one compiled shape, and all
         # chunk outputs are stacked on device and fetched in one transfer
         ng = len(cnt)
@@ -157,10 +163,10 @@ class MinimizerAligner:
             qg_c[:m] = qg[c0:c1]
             tg_c[:m] = tg[c0:c1]
             cnt_c[:m] = cnt[c0:c1]
-            f, parent, b, bi = chain_scores(qg_c, tg_c, cnt_c)
-            ext = chain_extents(qg_c, tg_c, parent, bi)
-            chunk_outs.append(jnp.stack([b.astype(jnp.int32), *ext]))
-        stacked = np.asarray(jnp.concatenate(chunk_outs, axis=1))[:, :ng]
+            chunk_outs.append(chain_and_extents(qg_c, tg_c, cnt_c))
+        stacked = np.asarray(jnp.concatenate(chunk_outs, axis=1)
+                             if len(chunk_outs) > 1 else chunk_outs[0]
+                             )[:, :ng]
         best = stacked[0].astype(np.int64)
         q_min, q_max_, t_min, t_max_ = stacked[1:5]
 
@@ -226,6 +232,15 @@ class MinimizerAligner:
 
         q_max = _bucket(max(len(r) for r in ext_reads))
         t_max = _bucket(max(max(len(t) for t in ext_refs), q_max))
+        # band: indel drift grows ~sqrt(len); 128 covers reads to ~2 kb
+        if p.band is not None:
+            band = p.band
+        elif q_max <= 2048:
+            band = 128
+        elif q_max <= 8192:
+            band = 256
+        else:
+            band = 512
         bt = 128
         score_parts = []
         for s0 in range(0, n_ext, p.extend_batch):
@@ -243,7 +258,7 @@ class MinimizerAligner:
                 rl[i] = len(rr)
                 tl[i] = len(tt)
             sc, _, _ = banded_sw_scores(
-                ra, rl, ta, tl, band=p.band, match=p.match,
+                ra, rl, ta, tl, band=band, match=p.match,
                 mismatch=p.mismatch, gap_open=p.gap_open,
                 gap_extend=p.gap_extend, batch_tile=bt, backend=p.backend)
             score_parts.append(sc[:m])
@@ -276,7 +291,7 @@ class MinimizerAligner:
         emit_alns = banded_align_batch(
             [ext_reads[i] for _, i in emit_keys],
             [ext_refs[i] for _, i in emit_keys],
-            band=p.band, match=p.match, mismatch=p.mismatch,
+            band=band, match=p.match, mismatch=p.mismatch,
             gap_open=p.gap_open, gap_extend=p.gap_extend)
 
         out = np.zeros(len(emit_keys), ALIGN_DTYPE)
