@@ -146,9 +146,12 @@ def main(argv=None) -> int:
 
     prefix = args.output_prefix or os.path.splitext(
         os.path.basename(args.query[0]))[0]
+    all_lengths = np.array([len(r) for r in reads], np.int64)
     paths = profiler.write_reports(
         result, args.output_folder, prefix,
-        read_lengths=np.concatenate(lengths) if lengths else None)
+        read_lengths=all_lengths,
+        read_quals=None,
+        reads=reads)
 
     if args.amr and args.amr_db and len(result.best):
         from megapath_nano_tpu.amr.db import AMRGeneDB

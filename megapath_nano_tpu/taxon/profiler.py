@@ -436,7 +436,8 @@ class TaxonProfiler:
     def write_reports(self, result: ProfileResult, out_dir: str,
                       prefix: str = "out",
                       read_lengths: np.ndarray | None = None,
-                      read_quals: np.ndarray | None = None) -> dict:
+                      read_quals: np.ndarray | None = None,
+                      reads: list | None = None) -> dict:
         """Output surface (step 27, megapath_nano.py:3275-3888)."""
         os.makedirs(out_dir, exist_ok=True)
         paths = {
@@ -498,6 +499,37 @@ class TaxonProfiler:
                     name = self.db.assembly_names[aid] \
                         if aid < len(self.db.assembly_names) else str(aid)
                     f.write(f"{name}\t{int(bool(mark))}\n")
+
+        # alignment record outputs (.species.sam/.paf, lib/aligner.py:245-261)
+        if reads is not None and len(result.best):
+            from megapath_nano_tpu.report.samout import write_paf, write_sam
+
+            paths["species_sam"] = os.path.join(out_dir,
+                                                f"{prefix}.species.sam")
+            paths["species_paf"] = os.path.join(out_dir,
+                                                f"{prefix}.species.paf")
+            write_sam(paths["species_sam"], result.best, reads,
+                      self.db.index.seq_lengths)
+            write_paf(paths["species_paf"], result.best)
+
+        # per-category length/quality histograms (step 26 outputs)
+        if read_lengths is not None:
+            from megapath_nano_tpu.report.histograms import write_histograms
+
+            micro_ids = (np.unique(result.best.data["read_id"])
+                         if len(result.best) else np.zeros(0, np.int64))
+            cats = {
+                "all": {"lengths": read_lengths, "quals": read_quals},
+                "microbe": {
+                    "lengths": read_lengths[micro_ids.astype(np.int64)]
+                    if len(micro_ids) else np.zeros(0),
+                    "quals": (read_quals[micro_ids.astype(np.int64)]
+                              if read_quals is not None and len(micro_ids)
+                              else None),
+                },
+            }
+            hp = write_histograms(out_dir, prefix, cats)
+            paths.update(hp)
 
         # per-read list with category flags (read_list, ref :2472-2548)
         with open(paths["read_list"], "w") as f:
