@@ -30,8 +30,9 @@ struct BandedResult {
   std::vector<uint32_t> cigar;   // BAM encoding (len<<4 | op), op 0=M 1=I 2=D
 };
 
-// per-cell flags: [h_dir, e_ext, f_ext] — e_ext: E(i,k) extended from
-// E(i-1,k+1); f_ext: F(i,k) extended from F(i,k-1).
+// per-cell flags stored as three stride-1 planes per row
+// ([i][plane][k], plane 0 = h_dir, 1 = e_ext, 2 = f_ext):
+// e_ext: E(i,k) extended from E(i-1,k+1); f_ext: F(i,k) from F(i,k-1).
 static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
                          int32_t tlen, int32_t band, int32_t match,
                          int32_t mismatch, int32_t gap_open, int32_t gap_ext,
@@ -40,77 +41,79 @@ static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
   const int32_t NEG = -(1 << 29);
   std::vector<int32_t> h_prev(band + 1, 0), e_prev(band + 1, 0);
   std::vector<int32_t> h_cur(band + 1, 0), e_cur(band + 1, 0);
-  // row scratch, structured as separate arrays so -O3 autovectorizes passes
-  std::vector<int32_t> hnod(band), e_row(band), f_row(band);
+  // row scratch, separate arrays so -O3 autovectorizes the passes
+  std::vector<int32_t> hnod(band), e_row(band), f_row(band), m_row(band);
   // padded target so ref[j] gathers are branch-free: tp[x] = ref[x - band]
   const int64_t padlen = (int64_t)std::max(tlen, qlen) + 2 * band;
-  std::vector<int8_t> tpad(padlen, 4);
-  std::vector<uint8_t> tdead(padlen, 1);
+  std::vector<int8_t> tpad(padlen, 5);
   memcpy(tpad.data() + band, ref, tlen);
-  memset(tdead.data() + band, 0, tlen);
   dir_buf->assign((size_t)qlen * band * 3, 0);
 
   int32_t best = 0, best_i = -1, best_k = -1;
   for (int32_t i = 0; i < qlen; ++i) {
-    int8_t* dline = dir_buf->data() + (size_t)i * band * 3;
+    int8_t* dirH = dir_buf->data() + (size_t)i * band * 3;
+    int8_t* dirE = dirH + band;
+    int8_t* dirF = dirE + band;
     const int8_t qc = read[i];
     const int8_t* tp = tpad.data() + band + i - half;   // tp[k] = ref[j(k)]
-    const uint8_t* td = tdead.data() + band + i - half;
     const int32_t* hp = h_prev.data();
     const int32_t* ep = e_prev.data();
 
-    // pass 1+2 (vectorizable): substitution, M, E, Hnod, E-provenance
+    // pass 1 (vector): substitution, M, E, Hnod, E-provenance
     for (int32_t k = 0; k < band; ++k) {
       int8_t tc = tp[k];
+      bool dead = tc == 5;
       int32_t sub = (qc >= 4 || tc >= 4) ? 0 : (qc == tc ? match : -mismatch);
       int32_t m = hp[k] + sub;
       int32_t eo = hp[k + 1] - gap_open;
       int32_t ee = ep[k + 1] - gap_ext;
       int32_t e = eo > ee ? eo : ee;
-      dline[k * 3 + 1] = (ee >= eo) ? 1 : 0;
+      dirE[k] = (ee >= eo) ? 1 : 0;
       int32_t hn = m > e ? m : e;
-      hnod[k] = td[k] ? NEG : hn;
+      hnod[k] = dead ? NEG : hn;
       e_row[k] = e > 0 ? e : 0;
-      // stash m for direction disambiguation via sign trick below
-      h_cur[k] = m;  // temporarily holds m
+      m_row[k] = m;
     }
-    // pass 3 (cheap scalar scan): F from Hnod closed form
+    // pass 2 (cheap scalar scan): F from Hnod closed form; provenance for
+    // slot k+1 is written directly at dirF[k+1] (stride-1, no shift pass)
     {
       int32_t f = NEG;
+      dirF[0] = 0;
       for (int32_t k = 0; k < band; ++k) {
         f_row[k] = f;
         int32_t open = hnod[k] - gap_open;
         int32_t ext = f - gap_ext;
-        dline[k * 3 + 2] = (ext >= open) ? 1 : 0;  // F(i,k+1) provenance
+        if (k + 1 < band) dirF[k + 1] = (ext >= open) ? 1 : 0;
         f = ext > open ? ext : open;
       }
-      // shift provenance: flag stored at k describes F(i,k+1); move it
-      for (int32_t k = band - 1; k > 0; --k)
-        dline[k * 3 + 2] = dline[(k - 1) * 3 + 2];
-      dline[2] = 0;
     }
-    // pass 4 (vectorizable): H, directions, best tracking
-    int32_t row_best = 0, row_best_k = -1;
+    // pass 3 (vector): H, directions, stores
     for (int32_t k = 0; k < band; ++k) {
-      int32_t m = h_cur[k];
       int32_t hn = hnod[k];
       int32_t f = f_row[k];
       int32_t h = hn > f ? hn : f;
       h = h > 0 ? h : 0;
-      bool dead = td[k] != 0;
-      h = dead ? 0 : h;
-      int8_t d = DIR_STOP;
-      if (h > 0) {
-        if (h == m) d = DIR_DIAG;
-        else if (h == hn) d = DIR_E;   // hn==e when not m
-        else d = DIR_F;
-      }
-      dline[k * 3] = d;
+      bool dead = hn == NEG;
+      h = dead ? 0 : h;          // no paths may end in out-of-range cells
+      // branchless direction: 0 stop, 1 diag, 2 E, 3 F
+      int8_t d = (h > 0)
+                     ? ((h == m_row[k]) ? DIR_DIAG
+                                        : ((h == hn) ? DIR_E : DIR_F))
+                     : DIR_STOP;
+      dirH[k] = d;
       h_cur[k] = h;
       e_cur[k] = dead ? 0 : e_row[k];
-      if (h > row_best) { row_best = h; row_best_k = k; }
     }
-    if (row_best > best) { best = row_best; best_i = i; best_k = row_best_k; }
+    // pass 4 (vector reduction): row max, then index scan only on improvement
+    int32_t row_best = 0;
+    for (int32_t k = 0; k < band; ++k)
+      row_best = h_cur[k] > row_best ? h_cur[k] : row_best;
+    if (row_best > best) {
+      best = row_best;
+      best_i = i;
+      for (int32_t k = 0; k < band; ++k)
+        if (h_cur[k] == row_best) { best_k = k; break; }
+    }
     h_cur[band] = 0;
     e_cur[band] = 0;
     std::swap(h_prev, h_cur);
@@ -137,7 +140,7 @@ static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
   bool done = false;
   while (!done && i >= 0 && k >= 0 && k < band) {
     const int8_t* dline = dir_buf->data() + (size_t)i * band * 3;
-    int8_t d = dline[k * 3];
+    int8_t d = dline[k];
     switch (d) {
       case DIR_DIAG: {
         int32_t j = i + k - half;
@@ -152,7 +155,7 @@ static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
         // walk the E chain: each step consumes one read base
         for (;;) {
           const int8_t* dl = dir_buf->data() + (size_t)i * band * 3;
-          int8_t ext = dl[k * 3 + 1];
+          int8_t ext = dl[band + k];
           push_op(1);
           out->n_ins++;
           i -= 1;
@@ -164,7 +167,7 @@ static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
       case DIR_F: {
         for (;;) {
           const int8_t* dl = dir_buf->data() + (size_t)i * band * 3;
-          int8_t ext = dl[k * 3 + 2];
+          int8_t ext = dl[2 * band + k];
           push_op(2);
           out->n_del++;
           k -= 1;
