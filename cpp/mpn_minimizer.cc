@@ -174,29 +174,40 @@ int64_t mpn_sketch_batch(const int8_t* seqs, const int64_t* offsets,
                          uint64_t* hashes_out, int64_t* pos_out,
                          int8_t* strand_out, int64_t* out_offsets,
                          int64_t cap) {
-  int64_t total = 0;
-  std::vector<Minimizer> mins;
-  for (int32_t r = 0; r < n_reads; ++r) {
-    mins.clear();
-    const int8_t* seq = seqs + offsets[r];
-    int64_t len = offsets[r + 1] - offsets[r];
-    sketch_sequence(seq, len, 0, k, w, &mins);
-    if (hashes_out) {
-      out_offsets[r] = total;
-      int64_t m = std::min<int64_t>((int64_t)mins.size(), cap - total);
-      for (int64_t i = 0; i < m; ++i) {
-        hashes_out[total + i] = mins[i].hash;
-        pos_out[total + i] =
-            (int64_t)((mins[i].packed >> 1) & ((1ULL << 39) - 1));
-        strand_out[total + i] = (int8_t)(mins[i].packed & 1);
-      }
-      total += m;
-    } else {
-      total += (int64_t)mins.size();
-    }
+  // threaded sketch with per-read result buffers, then serial layout
+  int n_threads = (int)std::min<size_t>(
+      std::thread::hardware_concurrency() ? std::thread::hardware_concurrency()
+                                          : 1, 8);
+  std::vector<std::vector<Minimizer>> per_read(n_reads);
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; ++t)
+      ts.emplace_back([&, t]() {
+        for (int32_t r = t; r < n_reads; r += n_threads)
+          sketch_sequence(seqs + offsets[r], offsets[r + 1] - offsets[r], 0,
+                          k, w, &per_read[r]);
+      });
+    for (auto& th : ts) th.join();
   }
-  if (hashes_out) out_offsets[n_reads] = total;
-  return total;
+  int64_t total = 0;
+  for (int32_t r = 0; r < n_reads; ++r) total += (int64_t)per_read[r].size();
+  if (!hashes_out) return total;
+  int64_t pos = 0;
+  for (int32_t r = 0; r < n_reads; ++r) {
+    out_offsets[r] = pos;
+    const auto& mins = per_read[r];
+    int64_t m = std::min<int64_t>((int64_t)mins.size(), cap - pos);
+    if (m < 0) m = 0;
+    for (int64_t i = 0; i < m; ++i) {
+      hashes_out[pos + i] = mins[i].hash;
+      pos_out[pos + i] =
+          (int64_t)((mins[i].packed >> 1) & ((1ULL << 39) - 1));
+      strand_out[pos + i] = (int8_t)(mins[i].packed & 1);
+    }
+    pos += m;
+  }
+  out_offsets[n_reads] = pos;
+  return pos;
 }
 
 // Sketch a single sequence, returning minimizers in order of occurrence

@@ -288,11 +288,25 @@ class MinimizerAligner:
         from megapath_nano_tpu.native.banded import banded_align_batch
 
         emit_keys = list(best_per_key.items())
+        # narrow-band first (2x cheaper); any pair whose score misses the
+        # device banded score gets redone at the full band — exactness
+        # guaranteed by the cross-check, speed by the common case
+        emit_band = max(64, band // 2)
         emit_alns = banded_align_batch(
             [ext_reads[i] for _, i in emit_keys],
             [ext_refs[i] for _, i in emit_keys],
-            band=band, match=p.match, mismatch=p.mismatch,
+            band=emit_band, match=p.match, mismatch=p.mismatch,
             gap_open=p.gap_open, gap_extend=p.gap_extend)
+        redo = [r for r, (_, i) in enumerate(emit_keys)
+                if emit_alns[r].score != scores[i]]
+        if redo:
+            fixed = banded_align_batch(
+                [ext_reads[emit_keys[r][1]] for r in redo],
+                [ext_refs[emit_keys[r][1]] for r in redo],
+                band=band, match=p.match, mismatch=p.mismatch,
+                gap_open=p.gap_open, gap_extend=p.gap_extend)
+            for r, a in zip(redo, fixed):
+                emit_alns[r] = a
 
         out = np.zeros(len(emit_keys), ALIGN_DTYPE)
         cigar_map: dict = {}

@@ -112,21 +112,20 @@ def sketch_batch(seqs: list[np.ndarray] | np.ndarray,
     i8p = ctypes.POINTER(ctypes.c_int8)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i64p = ctypes.POINTER(ctypes.c_int64)
+    # one call: minimizer count can never exceed the k-mer count, so the
+    # total base count is a safe capacity bound
+    cap = max(int(flat.size), 1)
+    hashes = np.zeros(cap, np.uint64)
+    pos = np.zeros(cap, np.int64)
+    strand = np.zeros(cap, np.int8)
+    out_off = np.zeros(n + 1, np.int64)
     total = lib.mpn_sketch_batch(flat.ctypes.data_as(i8p),
                                  offsets.ctypes.data_as(i64p), n, k, w,
-                                 None, None, None, None, 0)
-    hashes = np.zeros(total, np.uint64)
-    pos = np.zeros(total, np.int64)
-    strand = np.zeros(total, np.int8)
-    out_off = np.zeros(n + 1, np.int64)
-    if total:
-        lib.mpn_sketch_batch(flat.ctypes.data_as(i8p),
-                             offsets.ctypes.data_as(i64p), n, k, w,
-                             hashes.ctypes.data_as(u64p),
-                             pos.ctypes.data_as(i64p),
-                             strand.ctypes.data_as(i8p),
-                             out_off.ctypes.data_as(i64p), total)
-    return hashes, pos, strand, out_off
+                                 hashes.ctypes.data_as(u64p),
+                                 pos.ctypes.data_as(i64p),
+                                 strand.ctypes.data_as(i8p),
+                                 out_off.ctypes.data_as(i64p), cap)
+    return hashes[:total], pos[:total], strand[:total], out_off
 
 
 def sketch(seq: np.ndarray, *, k: int = 15, w: int = 10):
