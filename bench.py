@@ -30,7 +30,7 @@ BASELINE_READS_PER_S = 25000.0
 
 N_GENOMES = 10
 GENOME_LEN = 300_000
-N_READS = 2048
+N_READS = 4096
 READ_LEN = 1000
 ERR = 0.06
 
@@ -63,14 +63,14 @@ def main():
     batches = [make_reads(i) for i in range(n_iter + 1)]
 
     # warmup: compile all shapes
-    res = aligner.map_reads(batches[0])
+    res = aligner.map_reads(batches[0], slice_size=2048)
     n_aligned = len(np.unique(res.data["read_id"]))
     assert n_aligned >= 0.9 * N_READS, f"only {n_aligned} aligned in warmup"
 
     # steady state
     t0 = time.time()
     for it in range(n_iter):
-        aligner.map_reads(batches[it + 1])
+        aligner.map_reads(batches[it + 1], slice_size=2048)
     dt = time.time() - t0
     reads_per_s = n_iter * N_READS / dt
 

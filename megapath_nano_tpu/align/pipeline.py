@@ -127,7 +127,44 @@ class MinimizerAligner:
         return self.index.seq_data[start:end]
 
     def map_reads(self, reads: list[np.ndarray],
-                  read_names: list[str] | None = None) -> AlignList:
+                  read_names: list[str] | None = None,
+                  slice_size: int | None = None) -> AlignList:
+        """Map reads. With slice_size set and enough reads, slices run on two
+        worker threads so one slice's host-side work (anchor collection, C++
+        emit — GIL-releasing) overlaps the other's device DP."""
+        if slice_size and len(reads) > slice_size:
+            return self._map_reads_pipelined(reads, read_names, slice_size)
+        return self._map_reads_single(reads, read_names)
+
+    def _map_reads_pipelined(self, reads, read_names, slice_size):
+        from concurrent.futures import ThreadPoolExecutor
+
+        slices = [(s, reads[s: s + slice_size])
+                  for s in range(0, len(reads), slice_size)]
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            parts = list(ex.map(
+                lambda sv: self._map_reads_single(sv[1], None,
+                                                  id_base=sv[0]),
+                slices))
+        datas = []
+        cigar_map: dict = {}
+        for al in parts:
+            if len(al) == 0:
+                continue
+            datas.append(al.data)
+            cigar_map.update(al.cigar_map or {})
+        if not datas:
+            return AlignList.empty(self.index.seq_names,
+                                   self.meta.assembly_names, read_names or [])
+        data = np.concatenate(datas)
+        order = np.lexsort((data["sequence_id"], data["read_id"]))
+        return AlignList(data[order], list(self.index.seq_names),
+                         list(self.meta.assembly_names), read_names or [],
+                         cigar_map)
+
+    def _map_reads_single(self, reads: list[np.ndarray],
+                          read_names: list[str] | None = None,
+                          id_base: int = 0) -> AlignList:
         p = self.params
         idx = self.index
         n_seqs = len(idx.seq_names)
@@ -330,7 +367,7 @@ class MinimizerAligner:
                 min(60, 40.0 * max(0.0, 1.0 - f2 / f1)
                     + 0.01 * min(f1, 2000)))
             out[row] = (
-                rid, qlen, read_from, read_to, r["strand"], seq_id,
+                rid + id_base, qlen, read_from, read_to, r["strand"], seq_id,
                 int(seq_lens[seq_id]), seq_from, seq_to, aln.n_match, mapq,
                 aln.edit_dist, int(aln.score),
                 int(self.meta.assembly_idx[seq_id]),
@@ -339,7 +376,7 @@ class MinimizerAligner:
                 int(self.meta.genus_tax_id[seq_id]),
                 0.0,
             )
-            cigar_map[(rid, seq_id)] = (aln.cigar, r["qs"] + aln.read_begin,
+            cigar_map[(rid + id_base, seq_id)] = (aln.cigar, r["qs"] + aln.read_begin,
                                         r["strand"])
         out["alignment_score_tiebreaker"] = _stable_uniform(
             p.tiebreaker_seed, out["read_id"],
