@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query", required=True, action="append",
                    help="input FASTQ/FASTA(.gz); repeatable")
     p.add_argument("--db", required=True, help="RefDB directory")
+    p.add_argument("--genome_set",
+                   help="file listing assembly names to restrict the DB to "
+                        "(the reference's config/ genome sets)")
     p.add_argument("--human_db", help="human-genome RefDB directory")
     p.add_argument("--decoy_db", help="decoy RefDB directory")
     p.add_argument("--amr_db", action="append", default=[],
@@ -53,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     gate("closing_spike_filter", False)
     gate("short_alignment_filter", False)
     gate("unique_alignment", False)
+    gate("variable_region_adjustment", False)
+    gate("human_repetitive_region_filter", False)
+    gate("microbe_repetitive_region_filter", False)
+    gate("similar_species_marker", False)
+    gate("noise_projection", False)
+    gate("amplicon_filter_module", False)
     gate("amr", True)
 
     p.add_argument("--min_alignment_length", type=int, default=0)
@@ -94,6 +103,17 @@ def main(argv=None) -> int:
         except FileNotFoundError as e:
             print(f"error: database not found: {e.filename}", file=sys.stderr)
             return 2
+        if args.genome_set:
+            with open(args.genome_set) as f:
+                wanted = [l.strip() for l in f if l.strip()]
+            try:
+                db = db.subset(wanted)
+            except ValueError:
+                print("error: genome set matches no assemblies in the DB "
+                      f"(available: {', '.join(db.assembly_names[:10])}...)",
+                      file=sys.stderr)
+                return 2
+            log.message(f"genome set: {len(db.assembly_names)} assemblies")
 
     if args.backend is None:
         import jax
@@ -138,6 +158,12 @@ def main(argv=None) -> int:
         short_alignment_filter=args.short_alignment_filter,
         min_alignment_length=args.min_alignment_length,
         unique_alignment=args.unique_alignment,
+        variable_region_adjustment=args.variable_region_adjustment,
+        human_repetitive_filter=args.human_repetitive_region_filter,
+        microbe_repetitive_filter=args.microbe_repetitive_region_filter,
+        similar_species_marker=args.similar_species_marker,
+        noise_projection=args.noise_projection,
+        amplicon_filter_module=args.amplicon_filter_module,
         align=AlignParams(backend=args.backend),
     )
     profiler = TaxonProfiler(db, options, human_db=human_db,

@@ -84,6 +84,63 @@ class RefDB:
             tax_names=tax_names or {},
         )
 
+    def subset(self, assembly_names: list[str]) -> "RefDB":
+        """Restrict the DB to a genome set — the reference's config/ genome
+        set mechanism (megapath_nano.py:720-729 read_genome_set)."""
+        keep = [i for i, n in enumerate(self.assembly_names)
+                if n in set(assembly_names)]
+        if not keep:
+            raise ValueError("genome set matches no assemblies")
+        remap = {a: i for i, a in enumerate(keep)}
+        idx = self.index
+        seqs, names, seq_assembly = [], [], []
+        for sid in range(len(idx.seq_names)):
+            a = int(self.seq_assembly[sid])
+            if a in remap:
+                s0, s1 = int(idx.seq_offsets[sid]), int(idx.seq_offsets[sid + 1])
+                seqs.append(idx.seq_data[s0:s1])
+                names.append(idx.seq_names[sid])
+                seq_assembly.append(remap[a])
+        return RefDB.build(
+            seqs, names, seq_assembly,
+            [self.assembly_names[a] for a in keep],
+            [tuple(self.assembly_tax[a]) for a in keep],
+            self.tax_names, k=idx.k, w=idx.w)
+
+    def data_integrity_check(self) -> list[str]:
+        """Cross-validate the bundle (the reference's
+        AssemblyMetadata.data_integrity_check, lib/assembly_metadata.py:
+        250-320). Returns a list of problem descriptions (empty = clean)."""
+        problems = []
+        idx = self.index
+        n_asm = len(self.assembly_names)
+        if len(self.assembly_lengths) != n_asm:
+            problems.append("assembly_lengths length mismatch")
+        if self.assembly_tax.shape != (n_asm, 3):
+            problems.append("assembly_tax shape mismatch")
+        if len(self.seq_assembly) != len(idx.seq_names):
+            problems.append("seq_assembly length != number of sequences")
+        if len(self.seq_assembly) and (
+                self.seq_assembly.min() < 0
+                or self.seq_assembly.max() >= n_asm):
+            problems.append("seq_assembly references unknown assembly")
+        # per-assembly sequence lengths must sum to the recorded length
+        sums = np.zeros(n_asm, np.int64)
+        for sid in range(len(idx.seq_names)):
+            sums[self.seq_assembly[sid]] += int(idx.seq_lengths[sid])
+        bad = np.flatnonzero(sums != self.assembly_lengths)
+        for a in bad:
+            problems.append(
+                f"assembly {self.assembly_names[a]}: sequence lengths sum "
+                f"{sums[a]} != recorded {self.assembly_lengths[a]}")
+        if idx.seq_data is not None and idx.seq_offsets is not None:
+            if int(idx.seq_offsets[-1]) != len(idx.seq_data):
+                problems.append("sequence offsets do not cover seq_data")
+        if len(idx.keys) and not bool(np.all(np.diff(idx.keys.astype(
+                np.uint64)) >= 0)):
+            problems.append("minimizer keys not sorted")
+        return problems
+
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         idx = self.index

@@ -60,7 +60,11 @@ class ProfileOptions:
     spike_stdev: float = 6.0                # mean + k*sqrt(mean) (:5100)
     human_repetitive_filter: bool = False   # step 10 (off, :4990)
     microbe_repetitive_filter: bool = False  # step 12 (off, :4991)
+    variable_region_adjustment: bool = False  # step 8 (off, :4988)
     similar_species_marker: bool = False    # step 21 (off)
+    noise_projection: bool = False          # step 20 (off)
+    noise_projection_reads: int = 1000
+    amplicon_filter_module: bool = False    # exit after placement (:1279)
     closing_spike_filter: bool = False      # off (:4992)
     closing_spike_stdev: float = 9.0        # (:5109)
     short_alignment_filter: bool = False    # off
@@ -94,6 +98,7 @@ class ProfileResult:
     n_noise_alignments: int = 0
     max_stat: np.ndarray | None = None      # step 25 upper-bound abundance
     similar_marks: dict = field(default_factory=dict)   # assembly -> bool
+    noise_projections: list = field(default_factory=list)  # step 20 results
 
 
 def _best_as_per_read(align_list: AlignList) -> dict[int, int]:
@@ -191,6 +196,17 @@ class TaxonProfiler:
                     error_rate=opt.reassign_error_rate,
                     as_threshold=opt.reassign_as_threshold).align_list
 
+        # amplicon filter mode: stop after species placement — downstream
+        # tooling consumes the raw alignments (megapath_nano.py:1279-1280)
+        if opt.amplicon_filter_module:
+            best = best_align_list(align_list, info, None)
+            stat = align_stat_by_assembly(best, info, None)
+            return ProfileResult(
+                align_list=align_list, best=best, stat=stat, noise_bed=None,
+                n_reads_in=len(reads), n_reads_aligned=n_aligned,
+                human_read_ids=human_ids, decoy_read_ids=decoy_ids,
+                human_best=human_best, decoy_best=decoy_best)
+
         # noise stack (steps 8-12): named noise sources accumulate
         noise_sources: dict[str, np.ndarray] = {}
         if opt.spike_filter and len(align_list):
@@ -210,6 +226,11 @@ class TaxonProfiler:
                 bed = self._microbe_repetitive_bed(align_list, info)
                 if len(bed):
                     noise_sources["microbe_repetitive"] = bed
+        if opt.variable_region_adjustment and len(align_list):
+            with log.step("variable_region"):
+                bed = self._variable_region_bed(align_list, info)
+                if len(bed):
+                    noise_sources["variable_region"] = bed
 
         noise_bed = None
         if noise_sources:
@@ -311,6 +332,13 @@ class TaxonProfiler:
             with log.step("similar_species_marker"):
                 similar_marks = self._similar_species_marks(stat)
 
+        # step 20: noise projection (simulate reads from top assemblies,
+        # measure cross-mapping onto genus siblings)
+        projections: list = []
+        if opt.noise_projection and len(stat):
+            with log.step("noise_projection"):
+                projections = self._noise_projections(stat)
+
         return ProfileResult(
             align_list=align_list, best=best, stat=stat,
             noise_bed=noise_bed, n_reads_in=len(reads),
@@ -320,7 +348,8 @@ class TaxonProfiler:
             human_best=human_best, decoy_best=decoy_best,
             noise_sources=noise_sources,
             n_noise_alignments=n_noise_alignments,
-            max_stat=max_stat, similar_marks=similar_marks)
+            max_stat=max_stat, similar_marks=similar_marks,
+            noise_projections=projections)
 
     # -- genome-vs-genome helpers ----------------------------------------
     def _assembly_seqs(self, db: RefDB, assembly_id: int):
@@ -384,6 +413,79 @@ class TaxonProfiler:
                     bed["sequence_id"][local] = global_ids[
                         bed["sequence_id"][local]]
         return bed
+
+    def _variable_region_bed(self, align_list: AlignList, info):
+        """Step 8: within each species with multiple DB assemblies, regions
+        of the most-aligned assembly not shared by >=50% of its sibling
+        strains become noise (megapath_nano.py:1572-1758)."""
+        from megapath_nano_tpu.index.minimizer import MinimizerIndex
+        from megapath_nano_tpu.taxon.genome_filters import \
+            variable_region_bed
+        from megapath_nano_tpu.taxon.intervals import BED_DTYPE, merge_bed
+
+        pre_stat = align_stat_by_assembly(align_list, info, None)
+        beds = []
+        species_seen = set()
+        for row in pre_stat[np.argsort(
+                -pre_stat["adjusted_total_aligned_bp"], kind="stable")]:
+            sp = int(row["species_tax_id"])
+            if sp in species_seen:
+                continue
+            species_seen.add(sp)
+            chosen = int(row["assembly_id"])
+            sibs = [a for a in range(len(self.db.assembly_names))
+                    if int(self.db.assembly_tax[a, 1]) == sp]
+            if len(sibs) < 2:
+                continue
+            strain_seqs = {a: self._assembly_seqs(self.db, a) for a in sibs}
+            chosen_seqs = strain_seqs[chosen]
+            tindex = MinimizerIndex.build(
+                chosen_seqs, [f"c{i}" for i in range(len(chosen_seqs))])
+            bed = variable_region_bed(
+                strain_seqs, tindex, np.zeros(len(chosen_seqs), np.int32),
+                chosen, backend=self.options.align.backend)
+            if len(bed):
+                # map local sequence ids back to global
+                global_ids = np.flatnonzero(self.db.seq_assembly == chosen)
+                bed["sequence_id"] = global_ids[bed["sequence_id"]]
+                bed["assembly_id"] = chosen
+                beds.append(bed)
+        if not beds:
+            return np.zeros(0, BED_DTYPE)
+        return merge_bed(np.concatenate(beds))
+
+    def _noise_projections(self, stat) -> list:
+        """Step 20: simulate reads from the top genera's dominant assemblies
+        and measure cross-mapping onto genus siblings
+        (megapath_nano.py:2596-2749)."""
+        from megapath_nano_tpu.taxon.noise_projection import project_noise
+
+        opt = self.options
+        order = np.argsort(-stat["adjusted_total_aligned_bp"], kind="stable")
+        projections = []
+        genera_done = set()
+        for row in stat[order]:
+            g = int(row["genus_tax_id"])
+            if g in genera_done:
+                continue
+            genera_done.add(g)
+            if len(genera_done) > 3:
+                break
+            src = int(row["assembly_id"])
+            sibs = {a: self._assembly_seqs(self.db, a)
+                    for a in range(len(self.db.assembly_names))
+                    if int(self.db.assembly_tax[a, 2]) == g and a != src}
+            if not sibs:
+                continue
+            # read length cap = 0.5 x the source's average read length
+            # (megapath_nano.py:2675-2685)
+            avg_len = float(row["average_read_length"]) or 1000.0
+            projections.extend(project_noise(
+                src, self._assembly_seqs(self.db, src), sibs,
+                n_reads=opt.noise_projection_reads,
+                max_read_length=max(int(avg_len * 0.5), 300),
+                backend=opt.align.backend))
+        return projections
 
     def _similar_species_marks(self, stat) -> dict[int, bool]:
         """Step 21: within each of the top genera, mark assemblies similar
@@ -490,6 +592,18 @@ class TaxonProfiler:
                 out_dir, f"{prefix}.max_microbe_stat")
             write_microbe_stat(paths["max_microbe_stat"], result.max_stat,
                                self.db.assembly_names)
+        if result.noise_projections:
+            paths["noise_projection"] = os.path.join(
+                out_dir, f"{prefix}.noise_projection")
+            with open(paths["noise_projection"], "w") as f:
+                f.write("source_assembly\ttarget_assembly\tsimulated_reads"
+                        "\tprojected_noise_reads\tprojected_noise_bp\n")
+                for pr in result.noise_projections:
+                    sn = self.db.assembly_names[pr.source_assembly]
+                    tn = self.db.assembly_names[pr.target_assembly]
+                    f.write(f"{sn}\t{tn}\t{pr.simulated_reads}"
+                            f"\t{pr.projected_noise_reads}"
+                            f"\t{pr.projected_noise_bp}\n")
         if result.similar_marks:
             paths["similar_species"] = os.path.join(
                 out_dir, f"{prefix}.similar_species")
