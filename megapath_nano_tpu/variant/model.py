@@ -139,13 +139,23 @@ class VariantModel:
         import pickle
 
         with open(path, "wb") as f:
-            pickle.dump(jax.device_get(self.params), f)
+            pickle.dump({"hidden": self.net.hidden,
+                         "slice_dim": self.net.slice_dim,
+                         "params": jax.device_get(self.params)}, f)
 
     def load(self, path: str) -> None:
         import pickle
 
         with open(path, "rb") as f:
-            self.params = pickle.load(f)
+            blob = pickle.load(f)
+        if isinstance(blob, dict) and "params" in blob:
+            if blob["hidden"] != self.net.hidden \
+                    or blob.get("slice_dim", 64) != self.net.slice_dim:
+                # rebuild jitted closures for the stored architecture
+                self.__init__(hidden=blob["hidden"])
+            self.params = blob["params"]
+        else:
+            self.params = blob
 
 
 # gt21 class construction: 10 SNP genotype pairs + indel classes, matching
