@@ -11,6 +11,18 @@
 // ref position j = i + k - band/2. Local alignment (clamp 0), affine gaps
 // gapO + (L-1)*gapE, E (gap in target, consumes read) clamped at 0 like the
 // scoring kernel. Traceback tie-break: diagonal > E > F.
+//
+// Performance notes (host emit is on the critical path with a 2-vCPU host):
+// - int16 score lanes when qlen*match fits (2x SIMD width vs int32), int32
+//   fallback for long reads; all row passes are branchless and autovectorize.
+// - The F recurrence (serial within a row in the naive form) is computed by
+//   closed form: F_used[k] = max_{k'<k}(Hnod[k'] - go - (k-1-k')*ge)
+//                          = Pex[k] - go - (k-1)*ge,
+//   where Pex[k] = exclusive prefix max of g[k'] = Hnod[k'] + k'*ge. The
+//   prefix max runs as log2(band) vectorizable sweeps. The F-extension
+//   provenance bit reduces to f_ext[k+1] = (Pex[k] >= g[k]).
+// - Direction state packs into ONE byte per cell (2-bit H dir + E/F extension
+//   bits); the buffer is fully overwritten so it is never zeroed.
 
 #include <algorithm>
 #include <cstdint>
@@ -20,7 +32,8 @@
 
 namespace {
 
-static const int8_t DIR_STOP = 0, DIR_DIAG = 1, DIR_E = 2, DIR_F = 3;
+static const uint8_t DIR_STOP = 0, DIR_DIAG = 1, DIR_E = 2, DIR_F = 3;
+static const uint8_t EXT_E = 4, EXT_F = 8;
 
 struct BandedResult {
   int32_t score;
@@ -30,94 +43,150 @@ struct BandedResult {
   std::vector<uint32_t> cigar;   // BAM encoding (len<<4 | op), op 0=M 1=I 2=D
 };
 
-// per-cell flags stored as three stride-1 planes per row
-// ([i][plane][k], plane 0 = h_dir, 1 = e_ext, 2 = f_ext):
-// e_ext: E(i,k) extended from E(i-1,k+1); f_ext: F(i,k) from F(i,k-1).
-static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
-                         int32_t tlen, int32_t band, int32_t match,
-                         int32_t mismatch, int32_t gap_open, int32_t gap_ext,
-                         BandedResult* out, std::vector<int8_t>* dir_buf) {
+template <typename T>
+struct Scratch {
+  std::vector<T> h_prev, e_prev, h_cur, e_cur;   // band + 1
+  std::vector<T> hnod, m_row, f_row;             // band
+  std::vector<uint8_t> ebit, fbit;               // band
+  void ensure(int32_t band, int32_t, int32_t) {
+    if ((int32_t)hnod.size() == band) return;
+    h_prev.assign(band + 1, 0);
+    e_prev.assign(band + 1, 0);
+    h_cur.assign(band + 1, 0);
+    e_cur.assign(band + 1, 0);
+    hnod.resize(band);
+    m_row.resize(band);
+    f_row.resize(band);
+    ebit.resize(band);
+    fbit.resize(band);
+  }
+  void reset_rows(int32_t band) {
+    std::fill(h_prev.begin(), h_prev.end(), (T)0);
+    std::fill(e_prev.begin(), e_prev.end(), (T)0);
+  }
+};
+
+// Row passes live in standalone functions with __restrict__ params so the
+// autovectorizer needs no runtime alias checks (gcc caps those at 10 pointers).
+template <typename T>
+static void row_pass1(const int8_t* __restrict tp, int8_t qc,
+                      const T* __restrict hp, const T* __restrict ep,
+                      T* __restrict ec, T* __restrict hnod,
+                      T* __restrict m_row, uint8_t* __restrict ebit,
+                      int32_t band, T MATCH, T MISM, T GO, T GE, T NEG) {
+  for (int32_t k = 0; k < band; ++k) {
+    int8_t tc = tp[k];
+    T sub = (qc >= 4 || tc >= 4) ? (T)0 : (qc == tc ? MATCH : (T)-MISM);
+    T m = (T)(hp[k] + sub);
+    T eo = (T)(hp[k + 1] - GO);
+    T ee = (T)(ep[k + 1] - GE);
+    T e = eo > ee ? eo : ee;
+    ebit[k] = (ee >= eo) ? EXT_E : 0;
+    T hn = m > e ? m : e;
+    hn = (tc == 5) ? NEG : hn;
+    hnod[k] = hn;
+    ec[k] = (tc == 5 || e < 0) ? (T)0 : e;
+    m_row[k] = m;
+  }
+}
+
+// pass 2: the F recurrence — serial (loop-carried max chain, ~2 cycles/slot)
+// but cheap at real band sizes; writes F values and extension bits.
+template <typename T>
+static void row_pass2(const T* __restrict hnod, T* __restrict f_row,
+                      uint8_t* __restrict fbit, int32_t band, T GO, T GE,
+                      T NEG) {
+  T f = NEG;
+  fbit[0] = 0;
+  for (int32_t k = 0; k < band; ++k) {
+    f_row[k] = f;
+    T open = (T)(hnod[k] - GO);
+    T ext = (T)(f - GE);
+    if (k + 1 < band) fbit[k + 1] = (ext >= open) ? EXT_F : 0;
+    f = ext > open ? ext : open;
+  }
+}
+
+template <typename T>
+static T row_pass3(const T* __restrict f_row, const T* __restrict hnod,
+                   const T* __restrict m_row, const uint8_t* __restrict ebit,
+                   const uint8_t* __restrict fbit, T* __restrict hc,
+                   T* __restrict ec, uint8_t* __restrict dir, int32_t band,
+                   T NEG) {
+  T row_best = 0;
+  for (int32_t k = 0; k < band; ++k) {
+    T f = f_row[k];
+    T hn = hnod[k];
+    T h = hn > f ? hn : f;
+    h = h > 0 ? h : (T)0;
+    bool dead = hn == NEG;
+    h = dead ? (T)0 : h;
+    uint8_t d = (h > 0) ? ((h == m_row[k]) ? DIR_DIAG
+                                           : ((h == hn) ? DIR_E : DIR_F))
+                        : DIR_STOP;
+    dir[k] = d | ebit[k] | fbit[k];
+    hc[k] = h;
+    ec[k] = dead ? (T)0 : ec[k];
+    row_best = h > row_best ? h : row_best;
+  }
+  return row_best;
+}
+
+template <typename T>
+static void banded_align_t(const int8_t* read, int32_t qlen, const int8_t* ref,
+                           int32_t tlen, int32_t band, int32_t match,
+                           int32_t mismatch, int32_t gap_open, int32_t gap_ext,
+                           BandedResult* out, std::vector<uint8_t>* dir_buf,
+                           Scratch<T>* scr) {
   const int32_t half = band / 2;
-  const int32_t NEG = -(1 << 29);
-  std::vector<int32_t> h_prev(band + 1, 0), e_prev(band + 1, 0);
-  std::vector<int32_t> h_cur(band + 1, 0), e_cur(band + 1, 0);
-  // row scratch, separate arrays so -O3 autovectorizes the passes
-  std::vector<int32_t> hnod(band), e_row(band), f_row(band), m_row(band);
+  const T NEG = (T)(sizeof(T) == 2 ? -8000 : -(1 << 29));
+  scr->ensure(band, gap_open, gap_ext);
+  scr->reset_rows(band);
+  T* hp = scr->h_prev.data();
+  T* ep = scr->e_prev.data();
+  T* hc = scr->h_cur.data();
+  T* ec = scr->e_cur.data();
+  T* hnod = scr->hnod.data();
+  T* m_row = scr->m_row.data();
+  T* sa = scr->f_row.data();
+  uint8_t* ebit = scr->ebit.data();
+  uint8_t* fbit = scr->fbit.data();
+
+  // rows beyond tlen + half are entirely out of band range (all dead)
+  const int32_t qeff = std::min(qlen, tlen + half);
   // padded target so ref[j] gathers are branch-free: tp[x] = ref[x - band]
   const int64_t padlen = (int64_t)std::max(tlen, qlen) + 2 * band;
   std::vector<int8_t> tpad(padlen, 5);
   memcpy(tpad.data() + band, ref, tlen);
-  dir_buf->assign((size_t)qlen * band * 3, 0);
+  if ((int64_t)dir_buf->size() < (int64_t)qeff * band)
+    dir_buf->resize((int64_t)qeff * band);  // fully overwritten, never zeroed
 
+  const T MATCH = (T)match, MISM = (T)mismatch;
+  const T GO = (T)gap_open, GE = (T)gap_ext;
   int32_t best = 0, best_i = -1, best_k = -1;
-  for (int32_t i = 0; i < qlen; ++i) {
-    int8_t* dirH = dir_buf->data() + (size_t)i * band * 3;
-    int8_t* dirE = dirH + band;
-    int8_t* dirF = dirE + band;
+  for (int32_t i = 0; i < qeff; ++i) {
+    uint8_t* dir = dir_buf->data() + (size_t)i * band;
     const int8_t qc = read[i];
-    const int8_t* tp = tpad.data() + band + i - half;   // tp[k] = ref[j(k)]
-    const int32_t* hp = h_prev.data();
-    const int32_t* ep = e_prev.data();
+    const int8_t* tp = tpad.data() + band + i - half;  // tp[k] = ref[j(k)]
 
-    // pass 1 (vector): substitution, M, E, Hnod, E-provenance
-    for (int32_t k = 0; k < band; ++k) {
-      int8_t tc = tp[k];
-      bool dead = tc == 5;
-      int32_t sub = (qc >= 4 || tc >= 4) ? 0 : (qc == tc ? match : -mismatch);
-      int32_t m = hp[k] + sub;
-      int32_t eo = hp[k + 1] - gap_open;
-      int32_t ee = ep[k + 1] - gap_ext;
-      int32_t e = eo > ee ? eo : ee;
-      dirE[k] = (ee >= eo) ? 1 : 0;
-      int32_t hn = m > e ? m : e;
-      hnod[k] = dead ? NEG : hn;
-      e_row[k] = e > 0 ? e : 0;
-      m_row[k] = m;
-    }
-    // pass 2 (cheap scalar scan): F from Hnod closed form; provenance for
-    // slot k+1 is written directly at dirF[k+1] (stride-1, no shift pass)
-    {
-      int32_t f = NEG;
-      dirF[0] = 0;
-      for (int32_t k = 0; k < band; ++k) {
-        f_row[k] = f;
-        int32_t open = hnod[k] - gap_open;
-        int32_t ext = f - gap_ext;
-        if (k + 1 < band) dirF[k + 1] = (ext >= open) ? 1 : 0;
-        f = ext > open ? ext : open;
-      }
-    }
-    // pass 3 (vector): H, directions, stores
-    for (int32_t k = 0; k < band; ++k) {
-      int32_t hn = hnod[k];
-      int32_t f = f_row[k];
-      int32_t h = hn > f ? hn : f;
-      h = h > 0 ? h : 0;
-      bool dead = hn == NEG;
-      h = dead ? 0 : h;          // no paths may end in out-of-range cells
-      // branchless direction: 0 stop, 1 diag, 2 E, 3 F
-      int8_t d = (h > 0)
-                     ? ((h == m_row[k]) ? DIR_DIAG
-                                        : ((h == hn) ? DIR_E : DIR_F))
-                     : DIR_STOP;
-      dirH[k] = d;
-      h_cur[k] = h;
-      e_cur[k] = dead ? 0 : e_row[k];
-    }
-    // pass 4 (vector reduction): row max, then index scan only on improvement
-    int32_t row_best = 0;
-    for (int32_t k = 0; k < band; ++k)
-      row_best = h_cur[k] > row_best ? h_cur[k] : row_best;
-    if (row_best > best) {
-      best = row_best;
+    // pass 1 (vector): substitution, M, E (+provenance bit), Hnod
+    row_pass1(tp, qc, hp, ep, ec, hnod, m_row, ebit, band,
+              MATCH, MISM, GO, GE, NEG);
+    // pass 2 (serial max chain): F values + extension provenance
+    row_pass2(hnod, sa, fbit, band, GO, GE, NEG);
+    // pass 3 (vector): H, packed directions, row max
+    T row_best = row_pass3(sa, hnod, m_row, ebit, fbit, hc, ec, dir,
+                           band, NEG);
+    if ((int32_t)row_best > best) {
+      best = (int32_t)row_best;
       best_i = i;
       for (int32_t k = 0; k < band; ++k)
-        if (h_cur[k] == row_best) { best_k = k; break; }
+        if (hc[k] == row_best) { best_k = k; break; }
     }
-    h_cur[band] = 0;
-    e_cur[band] = 0;
-    std::swap(h_prev, h_cur);
-    std::swap(e_prev, e_cur);
+    hc[band] = 0;
+    ec[band] = 0;
+    std::swap(hp, hc);
+    std::swap(ep, ec);
   }
 
   out->score = best;
@@ -139,8 +208,7 @@ static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
   };
   bool done = false;
   while (!done && i >= 0 && k >= 0 && k < band) {
-    const int8_t* dline = dir_buf->data() + (size_t)i * band * 3;
-    int8_t d = dline[k];
+    uint8_t d = dir_buf->data()[(size_t)i * band + k] & 3;
     switch (d) {
       case DIR_DIAG: {
         int32_t j = i + k - half;
@@ -154,8 +222,7 @@ static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
       case DIR_E: {
         // walk the E chain: each step consumes one read base
         for (;;) {
-          const int8_t* dl = dir_buf->data() + (size_t)i * band * 3;
-          int8_t ext = dl[band + k];
+          uint8_t ext = dir_buf->data()[(size_t)i * band + k] & EXT_E;
           push_op(1);
           out->n_ins++;
           i -= 1;
@@ -166,8 +233,7 @@ static void banded_align(const int8_t* read, int32_t qlen, const int8_t* ref,
       }
       case DIR_F: {
         for (;;) {
-          const int8_t* dl = dir_buf->data() + (size_t)i * band * 3;
-          int8_t ext = dl[2 * band + k];
+          uint8_t ext = dir_buf->data()[(size_t)i * band + k] & EXT_F;
           push_op(2);
           out->n_del++;
           k -= 1;
@@ -211,7 +277,9 @@ int mpn_banded_align_batch(const int8_t* reads, const int64_t* read_offsets,
   if (n_threads < 1) n_threads = 1;
   std::vector<std::thread> threads;
   auto work = [&](int tid) {
-    std::vector<int8_t> dir_buf;
+    std::vector<uint8_t> dir_buf;
+    Scratch<int16_t> s16;
+    Scratch<int32_t> s32;
     BandedResult r;
     for (int32_t p = tid; p < n_pairs; p += n_threads) {
       const int8_t* read = reads + read_offsets[p];
@@ -222,8 +290,13 @@ int mpn_banded_align_batch(const int8_t* reads, const int64_t* read_offsets,
         memset(&results[p], 0, sizeof(MpnBandedResult));
         continue;
       }
-      banded_align(read, qlen, ref, tlen, band, match, mismatch, gap_open,
-                   gap_ext, &r, &dir_buf);
+      // int16 lanes when the max possible score fits comfortably
+      if ((int64_t)std::min(qlen, tlen) * match < 7500 && band * gap_ext < 4000)
+        banded_align_t<int16_t>(read, qlen, ref, tlen, band, match, mismatch,
+                                gap_open, gap_ext, &r, &dir_buf, &s16);
+      else
+        banded_align_t<int32_t>(read, qlen, ref, tlen, band, match, mismatch,
+                                gap_open, gap_ext, &r, &dir_buf, &s32);
       results[p].score = r.score;
       results[p].read_begin = r.read_begin;
       results[p].read_end = r.read_end;

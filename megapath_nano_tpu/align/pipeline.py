@@ -13,15 +13,74 @@ taxon module (best-alignment selection, abundance, noise filters).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
+import jax
 import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("t_max",))
+def _gather_windows(seq, starts, *, t_max):
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(seq, (s,), (t_max,)))(starts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q_max", "t_max", "band", "match", "mismatch",
+                     "gap_open", "gap_extend", "batch_tile", "backend"))
+def _extend_full_dispatch(packed, qlens, meta, seq_data, *, q_max, t_max,
+                          band, match, mismatch, gap_open, gap_extend,
+                          batch_tile, backend):
+    """One-dispatch PAF extension: gather oriented query windows from the
+    packed read matrix and target windows from the resident reference, then
+    run the full-stats banded kernel. meta rows: rid, qs, qwlen, strand,
+    t_start, t_len — bundled so the remote link sees ONE small upload instead
+    of six (each costs a fixed ~30ms RTT on a tunneled TPU)."""
+    rid, qs, qwlen, strand, t_start, t_len = (meta[i] for i in range(6))
+    ra = _gather_queries(packed, rid, qlens, qs, qwlen, strand, q_max=q_max)
+    ta = _gather_windows(seq_data, t_start, t_max=t_max)
+    return banded_sw_full(ra, qwlen, ta, t_len, band=band, match=match,
+                          mismatch=mismatch, gap_open=gap_open,
+                          gap_extend=gap_extend, batch_tile=batch_tile,
+                          backend=backend)
+
+
+@functools.partial(jax.jit, static_argnames=("q_max",))
+def _gather_queries(packed, rid, qlens, qs, wlen, strand, *, q_max):
+    """Build oriented query windows on device from the packed read matrix
+    (2 base codes per byte, high nibble first). Row r of the result is
+    (revcomp(read) if strand else read)[qs : qs+wlen] padded with 4 — the
+    reads cross the host↔device link once per slice, halved by packing."""
+    import jax.numpy as jnp
+
+    cols = jnp.arange(q_max, dtype=jnp.int32)[None, :]
+    ql = qlens[rid][:, None]
+    pos = qs[:, None] + cols
+    minus = (strand[:, None] == 1)
+    src = jnp.where(minus, ql - 1 - pos, pos)
+    valid = (cols < wlen[:, None]) & (src >= 0) & (src < ql)
+    srcc = jnp.clip(src, 0, packed.shape[1] * 2 - 1)
+    byte = packed[rid[:, None], srcc >> 1]
+    code = jnp.where(srcc % 2 == 1, byte & 15, byte >> 4).astype(jnp.int32)
+    code = jnp.where(minus & (code < 4), 3 - code, code)
+    return jnp.where(valid, code, 4).astype(jnp.int8)
+
+
+def _pack_reads(reads: list[np.ndarray], read_max: int) -> np.ndarray:
+    """Host-side 2-codes-per-byte packing of a read batch (pad code 4)."""
+    n = len(reads)
+    mat = np.full((n, read_max), 4, np.uint8)
+    for i, r in enumerate(reads):
+        mat[i, : len(r)] = r
+    return (mat[:, 0::2] << 4) | mat[:, 1::2]
 
 from megapath_nano_tpu.align.anchors import collect_anchors, pack_groups
 from megapath_nano_tpu.align.chain import chain_and_extents
 from megapath_nano_tpu.align.records import ALIGN_DTYPE, AlignList
 from megapath_nano_tpu.index.minimizer import MinimizerIndex
-from megapath_nano_tpu.kernels.sw import banded_sw_scores
+from megapath_nano_tpu.kernels.sw import banded_sw_full, banded_sw_scores
 
 from megapath_nano_tpu.utils.dna import revcomp
 
@@ -117,6 +176,23 @@ class MinimizerAligner:
         self.params = params or AlignParams()
         self.meta = meta or SequenceMeta.single_assembly_per_sequence(
             index.seq_names)
+        self._seq_data_dev = None   # device-resident target bases (lazy)
+
+    def _device_refs(self, starts: np.ndarray, t_max: int):
+        """Gather (n, t_max) extension windows on device from the resident
+        reference — the reference bases never cross the host↔device link
+        after the first call (the link, not the DP, is the map-path
+        bottleneck on a remote-attached TPU)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._seq_data_dev is None:
+            pad = np.full(2 ** 15, 5, np.int8)   # sentinel tail: windows
+            data = np.concatenate([self.index.seq_data, pad])  # never shift
+            self._seq_data_dev = jax.device_put(jnp.asarray(data))
+
+        return _gather_windows(self._seq_data_dev,
+                               jnp.asarray(starts, jnp.int32), t_max=t_max)
 
     # -- helpers ----------------------------------------------------------
     def _target_window(self, seq_id: int, start: int, end: int) -> np.ndarray:
@@ -128,15 +204,27 @@ class MinimizerAligner:
 
     def map_reads(self, reads: list[np.ndarray],
                   read_names: list[str] | None = None,
-                  slice_size: int | None = None) -> AlignList:
+                  slice_size: int | None = None,
+                  emit_cigars: bool = True) -> AlignList:
         """Map reads. With slice_size set and enough reads, slices run on two
         worker threads so one slice's host-side work (anchor collection, C++
-        emit — GIL-releasing) overlaps the other's device DP."""
-        if slice_size and len(reads) > slice_size:
-            return self._map_reads_pipelined(reads, read_names, slice_size)
-        return self._map_reads_single(reads, read_names)
+        emit — GIL-releasing) overlaps the other's device DP.
 
-    def _map_reads_pipelined(self, reads, read_names, slice_size):
+        emit_cigars=False skips the host traceback: all alignment fields
+        (begin/end/match/edit/score) come from the full-stats device kernel
+        and cigar_map is None — the PAF-level mode (minimap2 without -a).
+        Consumers that need base-level CIGARs (SAM output, AMR consensus,
+        variant candidates) must map with emit_cigars=True."""
+        if not emit_cigars and self._seq_data_dev is None:
+            self._device_refs(np.zeros(1, np.int32), 256)  # pre-thread init
+        if slice_size and len(reads) > slice_size:
+            return self._map_reads_pipelined(reads, read_names, slice_size,
+                                             emit_cigars)
+        return self._map_reads_single(reads, read_names,
+                                      emit_cigars=emit_cigars)
+
+    def _map_reads_pipelined(self, reads, read_names, slice_size,
+                             emit_cigars=True):
         from concurrent.futures import ThreadPoolExecutor
 
         slices = [(s, reads[s: s + slice_size])
@@ -144,7 +232,8 @@ class MinimizerAligner:
         with ThreadPoolExecutor(max_workers=2) as ex:
             parts = list(ex.map(
                 lambda sv: self._map_reads_single(sv[1], None,
-                                                  id_base=sv[0]),
+                                                  id_base=sv[0],
+                                                  emit_cigars=emit_cigars),
                 slices))
         datas = []
         cigar_map: dict = {}
@@ -160,11 +249,12 @@ class MinimizerAligner:
         order = np.lexsort((data["sequence_id"], data["read_id"]))
         return AlignList(data[order], list(self.index.seq_names),
                          list(self.meta.assembly_names), read_names or [],
-                         cigar_map)
+                         cigar_map if emit_cigars else None)
 
     def _map_reads_single(self, reads: list[np.ndarray],
                           read_names: list[str] | None = None,
-                          id_base: int = 0) -> AlignList:
+                          id_base: int = 0,
+                          emit_cigars: bool = True) -> AlignList:
         p = self.params
         idx = self.index
         n_seqs = len(idx.seq_names)
@@ -225,7 +315,7 @@ class MinimizerAligner:
 
         # extension windows from device-computed chain extents
         recs = []
-        ext_reads, ext_refs = [], []
+        ext_qlens, ext_starts, ext_wlens = [], [], []
         for g in g_final:
             rid = int(groups.group_read[g])
             seq_id = int(groups.group_seq[g])
@@ -247,19 +337,17 @@ class MinimizerAligner:
             qe = min(q_hi + right, qlen)
             w_lo = max(t_lo - (q_lo - qs), 0)
             w_hi = min(t_hi + (qe - q_hi), seq_len)
-            window = idx.seq_data[seq_off + w_lo: seq_off + w_hi]
-            query_full = reads[rid] if strand == 0 else revcomp(reads[rid])
-            query = query_full[qs:qe]
             recs.append(dict(rid=rid, seq_id=seq_id, strand=strand,
-                             qlen=qlen, w_lo=w_lo, w_hi=w_hi, qs=qs,
+                             qlen=qlen, w_lo=w_lo, w_hi=w_hi, qs=qs, qe=qe,
                              chain_score=int(best[g])))
-            ext_reads.append(query)
-            ext_refs.append(window)
+            ext_qlens.append(qe - qs)
+            ext_starts.append(seq_off + w_lo)
+            ext_wlens.append(w_hi - w_lo)
 
         # batched banded extension on device. Shapes are bucketed to powers
         # of two so XLA executables cache across calls (a fresh shape means a
         # 20-40s remote compile on the TPU tunnel).
-        n_ext = len(ext_reads)
+        n_ext = len(recs)
 
         def _bucket(x, lo=256):
             b = lo
@@ -267,8 +355,8 @@ class MinimizerAligner:
                 b *= 2
             return b
 
-        q_max = _bucket(max(len(r) for r in ext_reads))
-        t_max = _bucket(max(max(len(t) for t in ext_refs), q_max))
+        q_max = _bucket(max(ext_qlens))
+        t_max = _bucket(max(max(ext_wlens), q_max))
         # band: indel drift grows ~sqrt(len); 128 covers reads to ~2 kb
         if p.band is not None:
             band = p.band
@@ -279,32 +367,67 @@ class MinimizerAligner:
         else:
             band = 512
         bt = 128
-        score_parts = []
-        for s0 in range(0, n_ext, p.extend_batch):
-            s1 = min(s0 + p.extend_batch, n_ext)
-            m = s1 - s0
-            mp = ((m + bt - 1) // bt) * bt  # pad so (mp, bt) is stable
-            ra = np.full((mp, q_max), 4, np.int8)
-            ta = np.full((mp, t_max), 5, np.int8)
-            rl = np.zeros(mp, np.int32)
-            tl = np.zeros(mp, np.int32)
-            for i in range(m):
-                rr, tt = ext_reads[s0 + i], ext_refs[s0 + i]
-                ra[i, : len(rr)] = rr
-                ta[i, : len(tt)] = tt
-                rl[i] = len(rr)
-                tl[i] = len(tt)
-            sc, _, _ = banded_sw_scores(
-                ra, rl, ta, tl, band=band, match=p.match,
-                mismatch=p.mismatch, gap_open=p.gap_open,
-                gap_extend=p.gap_extend, batch_tile=bt, backend=p.backend)
-            score_parts.append(sc[:m])
-        # one device->host transfer for all extension scores
+        # full-stats device kernel (PAF mode) needs windows < 32k for its
+        # packed companions; fall back to host emit beyond that
+        full_ok = (not emit_cigars) and q_max + band < 2 ** 15 \
+            and max(t_max, q_max) + band < 2 ** 15
         import jax.numpy as _jnp
 
-        scores = np.asarray(_jnp.concatenate(score_parts)
-                            if len(score_parts) > 1 else score_parts[0]
-                            ).astype(np.int64)
+        if full_ok:
+            # single extension dispatch: the packed read batch crosses the
+            # link once; query windows (with strand flip) and target windows
+            # are both gathered on device (the remote link, not the DP,
+            # bounds this path)
+            mp = ((n_ext + 1023) // 1024) * 1024
+            read_max = _bucket(max(len(r) for r in reads))
+            packed = _pack_reads(reads, read_max)
+            meta_a = np.zeros((6, mp), np.int32)
+            meta_a[0, :n_ext] = [r["rid"] for r in recs]
+            meta_a[1, :n_ext] = [r["qs"] for r in recs]
+            meta_a[2, :n_ext] = ext_qlens
+            meta_a[3, :n_ext] = [r["strand"] for r in recs]
+            meta_a[4, :n_ext] = ext_starts
+            meta_a[5, :n_ext] = ext_wlens
+            qlens_a = np.array([len(r) for r in reads], np.int32)
+            full = np.asarray(_extend_full_dispatch(
+                packed, qlens_a, meta_a, self._seq_data_dev,
+                q_max=q_max, t_max=t_max, band=band, match=p.match,
+                mismatch=p.mismatch, gap_open=p.gap_open,
+                gap_extend=p.gap_extend, batch_tile=bt,
+                backend=p.backend)[:n_ext]).astype(np.int64)
+            scores = full[:, 0]
+        else:
+            ext_reads = [
+                (reads[r["rid"]] if r["strand"] == 0
+                 else revcomp(reads[r["rid"]]))[r["qs"]: r["qe"]]
+                for r in recs]
+            ext_refs = [idx.seq_data[s: s + L]
+                        for s, L in zip(ext_starts, ext_wlens)]
+            score_parts = []
+            for s0 in range(0, n_ext, p.extend_batch):
+                s1 = min(s0 + p.extend_batch, n_ext)
+                m = s1 - s0
+                mp = ((m + bt - 1) // bt) * bt  # pad so (mp, bt) is stable
+                ra = np.full((mp, q_max), 4, np.int8)
+                ta = np.full((mp, t_max), 5, np.int8)
+                rl = np.zeros(mp, np.int32)
+                tl = np.zeros(mp, np.int32)
+                for i in range(m):
+                    rr, tt = ext_reads[s0 + i], ext_refs[s0 + i]
+                    ra[i, : len(rr)] = rr
+                    ta[i, : len(tt)] = tt
+                    rl[i] = len(rr)
+                    tl[i] = len(tt)
+                sc, _, _ = banded_sw_scores(
+                    ra, rl, ta, tl, band=band, match=p.match,
+                    mismatch=p.mismatch, gap_open=p.gap_open,
+                    gap_extend=p.gap_extend, batch_tile=bt,
+                    backend=p.backend)
+                score_parts.append(sc[:m])
+            # one device->host transfer for all extension scores
+            scores = np.asarray(_jnp.concatenate(score_parts)
+                                if len(score_parts) > 1 else score_parts[0]
+                                ).astype(np.int64)
 
         # keep per-(read, seq, strand) winners; exact emit via native SSW
         best_per_key: dict[tuple, int] = {}
@@ -320,46 +443,57 @@ class MinimizerAligner:
         for i, r in enumerate(recs):
             read_best.setdefault(r["rid"], []).append(int(scores[i]))
 
-        # exact emit (begin/end/CIGAR/match/NM) via the native threaded
-        # banded aligner — O(band*len) per winner
-        from megapath_nano_tpu.native.banded import banded_align_batch
-
         emit_keys = list(best_per_key.items())
-        # narrow-band first (2x cheaper); any pair whose score misses the
-        # device banded score gets redone at the full band — exactness
-        # guaranteed by the cross-check, speed by the common case
-        emit_band = max(64, band // 2)
-        emit_alns = banded_align_batch(
-            [ext_reads[i] for _, i in emit_keys],
-            [ext_refs[i] for _, i in emit_keys],
-            band=emit_band, match=p.match, mismatch=p.mismatch,
-            gap_open=p.gap_open, gap_extend=p.gap_extend)
-        redo = [r for r, (_, i) in enumerate(emit_keys)
-                if emit_alns[r].score != scores[i]]
-        if redo:
-            fixed = banded_align_batch(
-                [ext_reads[emit_keys[r][1]] for r in redo],
-                [ext_refs[emit_keys[r][1]] for r in redo],
-                band=band, match=p.match, mismatch=p.mismatch,
+        if full_ok:
+            # PAF mode: every field comes from the device kernel's carried
+            # path statistics; no host DP, no CIGARs
+            stats = [(int(full[i, 5]), int(full[i, 1]), int(full[i, 6]),
+                      int(full[i, 2]), int(full[i, 3]), int(full[i, 4]),
+                      int(full[i, 0])) for _, i in emit_keys]
+        else:
+            # exact emit (begin/end/CIGAR/match/NM) via the native threaded
+            # banded aligner — O(band*len) per winner
+            from megapath_nano_tpu.native.banded import banded_align_batch
+
+            # narrow-band first (2x cheaper); any pair whose score misses the
+            # device banded score gets redone at the full band — exactness
+            # guaranteed by the cross-check, speed by the common case
+            emit_band = max(64, band // 2)
+            emit_alns = banded_align_batch(
+                [ext_reads[i] for _, i in emit_keys],
+                [ext_refs[i] for _, i in emit_keys],
+                band=emit_band, match=p.match, mismatch=p.mismatch,
                 gap_open=p.gap_open, gap_extend=p.gap_extend)
-            for r, a in zip(redo, fixed):
-                emit_alns[r] = a
+            redo = [r for r, (_, i) in enumerate(emit_keys)
+                    if emit_alns[r].score != scores[i]]
+            if redo:
+                fixed = banded_align_batch(
+                    [ext_reads[emit_keys[r][1]] for r in redo],
+                    [ext_refs[emit_keys[r][1]] for r in redo],
+                    band=band, match=p.match, mismatch=p.mismatch,
+                    gap_open=p.gap_open, gap_extend=p.gap_extend)
+                for r, a in zip(redo, fixed):
+                    emit_alns[r] = a
+            stats = [(a.read_begin, a.read_end, a.ref_begin, a.ref_end,
+                      a.n_match, a.edit_dist, int(a.score))
+                     for a in emit_alns]
 
         out = np.zeros(len(emit_keys), ALIGN_DTYPE)
-        cigar_map: dict = {}
-        for row, (((rid, seq_id), i), aln) in enumerate(
-                zip(emit_keys, emit_alns)):
+        cigar_map: dict | None = {} if emit_cigars else None
+        for row, (((rid, seq_id), i), st) in enumerate(
+                zip(emit_keys, stats)):
+            rb, re_, tb, te, n_match, edit_dist, score = st
             r = recs[i]
             qlen = r["qlen"]
-            ob = r["qs"] + aln.read_begin     # oriented-frame begin/end
-            oe = r["qs"] + aln.read_end
+            ob = r["qs"] + rb                 # oriented-frame begin/end
+            oe = r["qs"] + re_
             if r["strand"] == 0:
                 read_from, read_to = ob, oe + 1
             else:  # flip back to original read coordinates
                 read_from = qlen - (oe + 1)
                 read_to = qlen - ob
-            seq_from = r["w_lo"] + aln.ref_begin
-            seq_to = r["w_lo"] + aln.ref_end + 1
+            seq_from = r["w_lo"] + tb
+            seq_to = r["w_lo"] + te + 1
             ss = sorted(read_best[rid], reverse=True)
             f1 = ss[0]
             f2 = ss[1] if len(ss) > 1 else 0
@@ -368,16 +502,17 @@ class MinimizerAligner:
                     + 0.01 * min(f1, 2000)))
             out[row] = (
                 rid + id_base, qlen, read_from, read_to, r["strand"], seq_id,
-                int(seq_lens[seq_id]), seq_from, seq_to, aln.n_match, mapq,
-                aln.edit_dist, int(aln.score),
+                int(seq_lens[seq_id]), seq_from, seq_to, n_match, mapq,
+                edit_dist, score,
                 int(self.meta.assembly_idx[seq_id]),
                 int(self.meta.tax_id[seq_id]),
                 int(self.meta.species_tax_id[seq_id]),
                 int(self.meta.genus_tax_id[seq_id]),
                 0.0,
             )
-            cigar_map[(rid + id_base, seq_id)] = (aln.cigar, r["qs"] + aln.read_begin,
-                                        r["strand"])
+            if cigar_map is not None:
+                cigar_map[(rid + id_base, seq_id)] = (
+                    emit_alns[row].cigar, r["qs"] + rb, r["strand"])
         out["alignment_score_tiebreaker"] = _stable_uniform(
             p.tiebreaker_seed, out["read_id"],
             out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)

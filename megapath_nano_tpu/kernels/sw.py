@@ -121,6 +121,282 @@ def _row_step_factory(*, band, match, mismatch, gap_open, gap_extend,
     return row_step
 
 
+def _row_step_full_factory(*, band, match, mismatch, gap_open, gap_extend,
+                           use_pltpu):
+    """DP row update carrying per-path statistics alongside the scores.
+
+    Each DP state (H, E) carries two packed int32 companions describing the
+    best path ending in that state:
+      P = n_match << 16 | n_edit      (edit = mismatches + ins + del)
+      B = (begin_read + band) << 15 | (begin_ref_in_band_frame + band)
+    Tie rules mirror the native emit traceback exactly (cpp/mpn_banded.cc):
+    diagonal >= E >= F at H-selection, gap-extension wins ties inside E/F
+    chains, and F prefers the earliest opener. The forward-carried stats
+    therefore describe the SAME path the host traceback would walk, so
+    match/edit/begin/end are exact — the taxon pipeline needs no host DP.
+
+    Range limits (asserted by the caller): q_max + band < 2**15 for the B
+    packing and path length < 2**16 for the P packing.
+    """
+
+    def row_step(i, carry, read_col, ref_slice, rlen):
+        (h_prev, e_prev, p_h, b_h, p_e, b_e,
+         best, best_i, best_k, best_p, best_b) = carry
+        bt = h_prev.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, band), dimension=1)
+
+        is_ambig = jnp.logical_or(read_col == 4, ref_slice >= 4)
+        sub = jnp.where(
+            is_ambig, jnp.int32(0),
+            jnp.where(read_col == ref_slice, jnp.int32(match),
+                      jnp.int32(-mismatch)))
+        dead = ref_slice == 5
+        is_match = jnp.logical_and(read_col == ref_slice,
+                                   jnp.logical_not(is_ambig))
+
+        cur_j = i + lane - band // 2
+        cur_b = (i + band) * 32768 + (cur_j + band)
+
+        # diagonal: fresh start when the predecessor H is 0 (local stop)
+        m = h_prev + sub
+        fresh = h_prev == 0
+        inc = jnp.where(is_match, jnp.int32(1 << 16), jnp.int32(1))
+        p_m = jnp.where(fresh, 0, p_h) + inc
+        b_m = jnp.where(fresh, cur_b, b_h)
+
+        sh = lambda x, fill: _shift_lanes_left(x, 1, fill, use_pltpu)  # noqa
+        e_up_h, e_up_e = sh(h_prev, NEG), sh(e_prev, NEG)
+        p_h_up, b_h_up = sh(p_h, 0), sh(b_h, 0)
+        p_e_up, b_e_up = sh(p_e, 0), sh(b_e, 0)
+        eo = e_up_h - gap_open
+        ee = e_up_e - gap_extend
+        e = jnp.maximum(eo, ee)
+        take_ext = ee >= eo                       # extension wins ties
+        p_e_new = jnp.where(take_ext, p_e_up, p_h_up) + 1
+        b_e_new = jnp.where(take_ext, b_e_up, b_h_up)
+
+        take_m = m >= e                           # diagonal wins ties
+        h_nod = jnp.maximum(m, e)
+        p_nod = jnp.where(take_m, p_m, p_e_new)
+        b_nod = jnp.where(take_m, b_m, b_e_new)
+        h_nod = jnp.where(dead, NEG, h_nod)
+
+        # F closed form with companions: tuple prefix-max, earliest opener
+        # wins ties (== the emit chain's ext >= open rule)
+        g = h_nod - gap_open + lane * gap_extend
+        gp = p_nod + (band - lane)   # NM gets +(k - k') after the scan
+        gb = b_nod
+        y = _shift_lanes_right(g, 1, NEG, use_pltpu)
+        yp = _shift_lanes_right(gp, 1, 0, use_pltpu)
+        yb = _shift_lanes_right(gb, 1, 0, use_pltpu)
+        s = 1
+        while s < band:
+            ys = _shift_lanes_right(y, s, NEG, use_pltpu)
+            yps = _shift_lanes_right(yp, s, 0, use_pltpu)
+            ybs = _shift_lanes_right(yb, s, 0, use_pltpu)
+            take = ys >= y                        # earlier lane wins ties
+            y = jnp.where(take, ys, y)
+            yp = jnp.where(take, yps, yp)
+            yb = jnp.where(take, ybs, yb)
+            s *= 2
+        f = y - (lane - 1) * gap_extend
+        p_f = yp + lane - band
+        b_f = yb
+
+        take_nod = h_nod >= f                     # diag/E win ties over F
+        h = jnp.maximum(h_nod, f)
+        p_hx = jnp.where(take_nod, p_nod, p_f)
+        b_hx = jnp.where(take_nod, b_nod, b_f)
+        h = jnp.maximum(h, 0)
+        h = jnp.where(dead, 0, h)
+        pos = h > 0
+        p_h_new = jnp.where(pos, p_hx, 0)
+        b_h_new = jnp.where(pos, b_hx, cur_b)
+        e_row = jnp.where(dead, 0, jnp.maximum(e, 0))
+
+        active = i < rlen                         # (BT,1)
+        h = jnp.where(active, h, h_prev)
+        e_row = jnp.where(active, e_row, e_prev)
+        p_h_new = jnp.where(active, p_h_new, p_h)
+        b_h_new = jnp.where(active, b_h_new, b_h)
+        p_e_new = jnp.where(active, p_e_new, p_e)
+        b_e_new = jnp.where(active, b_e_new, b_e)
+
+        row_max = jnp.max(h, axis=1, keepdims=True)
+        improved = jnp.logical_and(row_max > best, active)
+        is_max = h == row_max
+        k_of_max = jnp.min(jnp.where(is_max, lane, band), axis=1,
+                           keepdims=True)
+        at_k = lane == k_of_max
+        p_at = jnp.sum(jnp.where(at_k, p_h_new, 0), axis=1, keepdims=True)
+        b_at = jnp.sum(jnp.where(at_k, b_h_new, 0), axis=1, keepdims=True)
+        best = jnp.where(improved, row_max, best)
+        best_i = jnp.where(improved, i, best_i)
+        best_k = jnp.where(improved, k_of_max, best_k)
+        best_p = jnp.where(improved, p_at, best_p)
+        best_b = jnp.where(improved, b_at, best_b)
+        return (h, e_row, p_h_new, b_h_new, p_e_new, b_e_new,
+                best, best_i, best_k, best_p, best_b)
+
+    return row_step
+
+
+def _full_init(bt, band):
+    zeros = jnp.zeros((bt, band), jnp.int32)
+    col = jnp.zeros((bt, 1), jnp.int32)
+    return (zeros, zeros, zeros, zeros, zeros, zeros,
+            col, col, col, col, col)
+
+
+def _full_outputs(best, best_i, best_k, best_p, best_b, band):
+    half = band // 2
+    end_j = best_i + best_k - half
+    n_match = best_p // 65536
+    n_edit = best_p - n_match * 65536
+    beg_i = best_b // 32768 - band
+    beg_j = best_b - (best_b // 32768) * 32768 - band
+    return best, best_i, end_j, n_match, n_edit, beg_i, beg_j
+
+
+def _sw_kernel_full(reads_ref, rlens_ref, refs_ref, tlens_ref, out_ref,
+                    *, band, q_max, match, mismatch, gap_open, gap_extend):
+    """Full-stats variant of _sw_kernel: out (BT, 8) int32 =
+    [score, end_read, end_ref, n_match, n_edit, begin_read, begin_ref, 0]."""
+    bt = reads_ref.shape[0]
+    rlen = rlens_ref[:, 0:1]
+    step = _row_step_full_factory(band=band, match=match, mismatch=mismatch,
+                                  gap_open=gap_open, gap_extend=gap_extend,
+                                  use_pltpu=True)
+
+    def row_step(i, carry):
+        base = pl.multiple_of((i // 128) * 128, 128)
+        off = i - base
+        ref_win = refs_ref[:, pl.ds(base, band + 128)].astype(jnp.int32)
+        ref_slice = pltpu.roll(ref_win, band + 128 - off, axis=1)[:, 0:band]
+        read_win = reads_ref[:, pl.ds(base, 128)].astype(jnp.int32)
+        read_col = pltpu.roll(read_win, 128 - off, axis=1)[:, 0:1]
+        return step(i, carry, read_col, ref_slice, rlen)
+
+    carry = jax.lax.fori_loop(0, q_max, row_step, _full_init(bt, band))
+    best, best_i, best_k, best_p, best_b = carry[6:]
+    s, ei, ej, nm_, ne_, bi, bj = _full_outputs(best, best_i, best_k,
+                                                best_p, best_b, band)
+    out_ref[:, 0:1] = s
+    out_ref[:, 1:2] = ei
+    out_ref[:, 2:3] = ej
+    out_ref[:, 3:4] = nm_
+    out_ref[:, 4:5] = ne_
+    out_ref[:, 5:6] = bi
+    out_ref[:, 6:7] = bj
+    out_ref[:, 7:8] = jnp.zeros((bt, 1), jnp.int32)
+
+
+def _sw_jnp_full(reads, read_lens, refs_padded, *, band, q_max,
+                 match, mismatch, gap_open, gap_extend):
+    step = _row_step_full_factory(band=band, match=match, mismatch=mismatch,
+                                  gap_open=gap_open, gap_extend=gap_extend,
+                                  use_pltpu=False)
+    n = reads.shape[0]
+    rlen = read_lens[:, None].astype(jnp.int32)
+
+    def scan_body(carry, i):
+        ref_slice = jax.lax.dynamic_slice_in_dim(refs_padded, i, band, axis=1)
+        read_col = jax.lax.dynamic_slice_in_dim(reads, i, 1, axis=1)
+        return step(i, carry, read_col, ref_slice, rlen), None
+
+    carry, _ = jax.lax.scan(scan_body, _full_init(n, band),
+                            jnp.arange(q_max, dtype=jnp.int32))
+    best, best_i, best_k, best_p, best_b = carry[6:]
+    outs = _full_outputs(best, best_i, best_k, best_p, best_b, band)
+    return jnp.concatenate([o for o in outs], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band", "match", "mismatch", "gap_open", "gap_extend",
+                     "batch_tile", "backend"),
+)
+def banded_sw_full(
+    reads: jax.Array,      # (N, q_max) int8, padded with 4/5
+    read_lens: jax.Array,  # (N,) int32
+    refs: jax.Array,       # (N, t_max) int8, padded with 5
+    ref_lens: jax.Array,   # (N,) int32
+    *,
+    band: int = 128,
+    match: int = 2,
+    mismatch: int = 4,
+    gap_open: int = 4,
+    gap_extend: int = 2,
+    batch_tile: int = 64,
+    backend: str = "pallas",
+):
+    """Batched banded local SW with full per-alignment statistics.
+
+    Returns (N, 7) int32 columns: score, end_read, end_ref, n_match, n_edit,
+    begin_read, begin_ref (begin/end inclusive, window-local coordinates).
+    This is the taxon pipeline's alignment engine: exact PAF-level records
+    with no host-side DP (CIGARs, when requested, still come from the native
+    emit — reference: minimap2 computes CIGARs only with -a, the PAF default
+    carries match/block counts only).
+    """
+    n, q_max = reads.shape
+    t_max = refs.shape[1]
+    half = band // 2
+    assert band % 128 == 0, "band must be a multiple of 128 lanes"
+    assert q_max + band < 2 ** 15 and t_max + band < 2 ** 15, \
+        "full-stats kernel packing needs windows < 32k (use host emit)"
+
+    q_pad = (-q_max) % 128
+    if q_pad:
+        reads = jnp.pad(reads, ((0, 0), (0, q_pad)), constant_values=4)
+        q_max += q_pad
+    t_need = max(t_max, q_max)
+    t_pad = (-t_need) % 128 + (t_need - t_max)
+    if t_pad:
+        refs = jnp.pad(refs, ((0, 0), (0, t_pad)), constant_values=5)
+        t_max += t_pad
+    n_pad = (-n) % batch_tile
+    if n_pad:
+        reads = jnp.pad(reads, ((0, n_pad), (0, 0)), constant_values=4)
+        refs = jnp.pad(refs, ((0, n_pad), (0, 0)), constant_values=5)
+        read_lens = jnp.pad(read_lens, (0, n_pad))
+        ref_lens = jnp.pad(ref_lens, (0, n_pad))
+    refs_padded = jnp.pad(refs, ((0, 0), (half, half)), constant_values=5)
+    col = jnp.arange(t_max + band, dtype=jnp.int32)[None, :]
+    refs_padded = jnp.where(col >= ref_lens[:, None] + half, 5,
+                            refs_padded).astype(jnp.int8)
+
+    if backend == "jnp":
+        out = _sw_jnp_full(reads, read_lens, refs_padded, band=band,
+                           q_max=q_max, match=match, mismatch=mismatch,
+                           gap_open=gap_open, gap_extend=gap_extend)
+        return out[:n]
+
+    n_t = reads.shape[0] // batch_tile
+    kernel = functools.partial(
+        _sw_kernel_full, band=band, q_max=q_max, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[
+            pl.BlockSpec((batch_tile, q_max), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, t_max + band), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch_tile, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((reads.shape[0], 8), jnp.int32),
+    )(reads, read_lens[:, None].astype(jnp.int32), refs_padded,
+      ref_lens[:, None].astype(jnp.int32))
+    return out[:n, :7]
+
+
 def _sw_kernel(reads_ref, rlens_ref, refs_ref, tlens_ref, out_ref,
                *, band, q_max, match, mismatch, gap_open, gap_extend):
     """One batch tile: full banded DP over q_max read rows.

@@ -91,3 +91,31 @@ def test_no_spurious_mappings():
     # unrelated random reads shouldn't produce confident long alignments
     if len(res):
         assert (res.data["alignment_score"] < 100).all()
+
+
+def test_paf_mode_matches_cigar_mode():
+    """emit_cigars=False (device full-stats) must reproduce every align_list
+    field of the traceback path, just without CIGARs."""
+    rng = np.random.default_rng(11)
+    genomes = [random_sequence(rng, 30000) for _ in range(3)]
+    index = MinimizerIndex.build(genomes, [f"g{i}" for i in range(3)])
+    aligner = MinimizerAligner(index, params=AlignParams(backend="jnp"))
+    reads = []
+    for _ in range(48):
+        g = int(rng.integers(0, 3))
+        s = int(rng.integers(0, 29000))
+        read = mutate(rng, genomes[g][s: s + 800], sub_rate=0.03,
+                      ins_rate=0.015, del_rate=0.015)
+        if rng.integers(0, 2):
+            read = revcomp(read)
+        reads.append(read)
+    with_cig = aligner.map_reads(reads, emit_cigars=True)
+    paf = aligner.map_reads(reads, emit_cigars=False)
+    assert paf.cigar_map is None
+    assert with_cig.cigar_map
+    assert len(paf) == len(with_cig)
+    for col in ("read_id", "read_from", "read_to", "strand", "sequence_id",
+                "sequence_from", "sequence_to", "match", "edit_dist",
+                "alignment_score", "mapq"):
+        np.testing.assert_array_equal(paf.data[col], with_cig.data[col],
+                                      err_msg=col)
