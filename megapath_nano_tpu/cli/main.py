@@ -165,6 +165,11 @@ def main(argv=None) -> int:
         noise_projection=args.noise_projection,
         amplicon_filter_module=args.amplicon_filter_module,
         align=AlignParams(backend=args.backend),
+        # CIGARs are only consumed by the AMR consensus and the .species.sam
+        # output; the amplicon filter's downstream variant tooling also needs
+        # them. Pure taxon runs take the PAF-only device path (faster).
+        emit_cigars=bool((args.amr and args.amr_db)
+                         or args.amplicon_filter_module),
     )
     profiler = TaxonProfiler(db, options, human_db=human_db,
                              decoy_db=decoy_db, log=log)

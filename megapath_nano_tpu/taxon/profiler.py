@@ -74,6 +74,14 @@ class ProfileOptions:
     noise_overlap_fraction: float = 0.5     # drop if >50% in noise (:5103)
     min_aligned_bp_per_species: int = 0     # species floor (:1287)
     align: AlignParams = field(default_factory=AlignParams)
+    # CIGAR emission for the species placement. The taxon math itself only
+    # needs PAF-level fields (the device kernel provides them exactly);
+    # base-level CIGARs are required by the AMR consensus, variant
+    # candidates, and the .species.sam output — callers that use those must
+    # leave this True (reference: minimap2 -a, lib/aligner.py:245-261).
+    emit_cigars: bool = True
+    # slice size for the two-thread host/device overlap (None = one slice)
+    map_slice: int | None = 2048
     reassign_ratio: float = 0.05
     reassign_error_rate: float = 0.05
     reassign_as_threshold: float = 0.0
@@ -124,9 +132,11 @@ class TaxonProfiler:
         self.log = log or Log("taxon")
 
     def _map_filter_db(self, reads, refdb: RefDB):
+        # filter passes consume scores only — never CIGARs
         aligner = MinimizerAligner(refdb.index, refdb.sequence_meta,
                                    self.options.align)
-        return aligner.map_reads(reads)
+        return aligner.map_reads(reads, slice_size=self.options.map_slice,
+                                 emit_cigars=False)
 
     def profile(self, reads: list[np.ndarray],
                 read_names: list[str] | None = None) -> ProfileResult:
@@ -177,7 +187,10 @@ class TaxonProfiler:
 
         # step 3: placement to species
         with log.step("placement_to_species"):
-            align_list = self.aligner.map_reads(microbe_reads, read_names)
+            align_list = self.aligner.map_reads(
+                microbe_reads, read_names,
+                slice_size=self.options.map_slice,
+                emit_cigars=self.options.emit_cigars)
             if len(align_list) and microbe_ids != list(range(len(reads))):
                 remap = np.array(microbe_ids, np.int64)
                 align_list.data["read_id"] = remap[align_list.data["read_id"]]
@@ -618,13 +631,16 @@ class TaxonProfiler:
         if reads is not None and len(result.best):
             from megapath_nano_tpu.report.samout import write_paf, write_sam
 
-            paths["species_sam"] = os.path.join(out_dir,
-                                                f"{prefix}.species.sam")
             paths["species_paf"] = os.path.join(out_dir,
                                                 f"{prefix}.species.paf")
-            write_sam(paths["species_sam"], result.best, reads,
-                      self.db.index.seq_lengths)
             write_paf(paths["species_paf"], result.best)
+            # SAM needs real CIGARs — only written when the run mapped with
+            # emit_cigars (PAF-only runs skip it rather than emit fake Ms)
+            if result.best.cigar_map is not None:
+                paths["species_sam"] = os.path.join(out_dir,
+                                                    f"{prefix}.species.sam")
+                write_sam(paths["species_sam"], result.best, reads,
+                          self.db.index.seq_lengths)
 
         # per-category length/quality histograms (step 26 outputs)
         if read_lengths is not None:

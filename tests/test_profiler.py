@@ -107,3 +107,26 @@ def test_spike_filter_flags_hotspot():
     in_spike = (result.align_list.data["sequence_from"] >= 4900) \
         & (result.align_list.data["sequence_to"] <= 6100)
     assert in_spike.sum() == 0
+
+
+def test_profile_paf_mode_matches(tmp_path):
+    """emit_cigars=False (device-stats PAF path) must give the identical
+    profile: same best list, same stats, no .species.sam output."""
+    rng, genomes, db = _mock_world(seed=5)
+    reads, _ = _reads_with_mix(rng, genomes, [15, 8, 4])
+    names = [f"r{i}" for i in range(len(reads))]
+    base = TaxonProfiler(
+        db, ProfileOptions(align=AlignParams(backend="jnp")))
+    paf = TaxonProfiler(
+        db, ProfileOptions(align=AlignParams(backend="jnp"),
+                           emit_cigars=False))
+    r1 = base.profile(reads, names)
+    r2 = paf.profile(reads, names)
+    assert r2.best.cigar_map is None and r1.best.cigar_map
+    np.testing.assert_array_equal(r1.best.data, r2.best.data)
+    np.testing.assert_array_equal(r1.stat, r2.stat)
+    p1 = base.write_reports(r1, str(tmp_path / "a"), "m", reads=reads)
+    p2 = paf.write_reports(r2, str(tmp_path / "b"), "m", reads=reads)
+    assert "species_sam" in p1 and "species_sam" not in p2
+    assert open(p1["preport"]).read() == open(p2["preport"]).read()
+    assert open(p1["species_paf"]).read() == open(p2["species_paf"]).read()
