@@ -48,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--no_{name}", dest=name, action="store_false")
         p.set_defaults(**{name: default})
 
+    gate("adaptor_trimming", True)   # reference: on (megapath_nano.py:4982)
     gate("read_filter", True)
     gate("human_filter", False)
     gate("decoy_filter", False)
@@ -141,6 +142,15 @@ def main(argv=None) -> int:
         if args.max_aligned_reads and len(reads) > args.max_aligned_reads:
             reads = reads[: args.max_aligned_reads]
             names = names[: args.max_aligned_reads]
+    if args.adaptor_trimming and reads:
+        from megapath_nano_tpu.io.adapters import trim_adapters
+
+        with log.step("adaptor_trimming"):
+            tr = trim_adapters(reads, names)
+            reads, names = tr.reads, tr.names
+            log.message(
+                f"adapters: {tr.n_start_trimmed} start / {tr.n_end_trimmed} "
+                f"end trimmed, {tr.n_split} split, {tr.n_dropped} dropped")
     log.message(f"{len(reads)} reads pass QC")
     if not reads:
         print("no reads after filtering", file=sys.stderr)
