@@ -46,11 +46,15 @@ def collect_anchors(
     *,
     max_occ: int = 64,
     min_group_anchors: int = 3,
+    gap_break: int = 5000,
 ) -> AnchorGroups:
     """Sketch reads, look up each minimizer, and group hits.
 
     max_occ: minimizers occurring more than this in the index are skipped
     (repeat masking — minimap2's mid-occurrence filter).
+    gap_break: split a (read, seq, strand) group at target gaps larger than
+    this — the chain DP can't link across them (max_dist), and smaller
+    groups keep the packed anchor arrays dense and int16-safe.
     """
     keys = index.keys
     empty = AnchorGroups(np.zeros(0, np.int32), np.zeros(0, np.int64),
@@ -115,7 +119,7 @@ def collect_anchors(
     new_group = np.empty(len(q), bool)
     new_group[0] = True
     new_group[1:] = (rid[1:] != rid[:-1]) | (seq[1:] != seq[:-1]) \
-        | (strand[1:] != strand[:-1])
+        | (strand[1:] != strand[:-1]) | (t[1:] - t[:-1] > gap_break)
     group_starts = np.flatnonzero(new_group)
     group_ends = np.append(group_starts[1:], len(q))
     sizes_all = group_ends - group_starts
@@ -140,7 +144,11 @@ def collect_anchors(
 def pack_groups(groups: AnchorGroups, *, max_anchors: int = 256):
     """Pad groups into fixed (n_groups, max_anchors) arrays for the device
     chaining kernel. Oversize groups are subsampled evenly (keeps chain
-    structure; exact minimap2 would RMQ-chain all anchors)."""
+    structure; exact minimap2 would RMQ-chain all anchors).
+
+    Emits int16 coordinate arrays when every value fits (the common case
+    after gap_break splitting) — halves the host→device upload, which is
+    the map path's bound on a remote-attached TPU."""
     n = groups.n_groups
     q = np.zeros((n, max_anchors), np.int32)
     t = np.zeros((n, max_anchors), np.int32)
@@ -161,4 +169,7 @@ def pack_groups(groups: AnchorGroups, *, max_anchors: int = 256):
         cnt[g] = m
         t_base[g] = base
         sel_idx[g, :m] = pick
+    if n and q.max() < 2 ** 15 and t.max() < 2 ** 15 and q.min() >= 0:
+        q = q.astype(np.int16)
+        t = t.astype(np.int16)
     return q, t, cnt, t_base, sel_idx

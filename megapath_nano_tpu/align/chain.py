@@ -49,6 +49,8 @@ def chain_scores(
     f: (N, A) chain score per anchor; parent: (N, A) predecessor index
     (-1 = chain start); best_*: per-row optimum.
     """
+    q_pos = q_pos.astype(jnp.int32)   # int16 on the wire, int32 in the DP
+    t_pos = t_pos.astype(jnp.int32)
     n, a = q_pos.shape
     idx = jnp.arange(a, dtype=jnp.int32)
     valid = idx[None, :] < n_anchors[:, None]
@@ -121,6 +123,8 @@ def chain_and_extents(q_pos, t_pos, n_anchors, *, window: int = 32,
     propagate through the DP alongside the score (no parent matrix, no
     backtrack pass). Returns (6, N) int32
     [best, q_min, q_max, t_min, t_max, chain_len]."""
+    q_pos = q_pos.astype(jnp.int32)   # int16 on the wire, int32 in the DP
+    t_pos = t_pos.astype(jnp.int32)
     n, a = q_pos.shape
     idx = jnp.arange(a, dtype=jnp.int32)
     valid = idx[None, :] < n_anchors[:, None]

@@ -284,8 +284,8 @@ class MinimizerAligner:
         for c0 in range(0, ng, CHUNK):
             c1 = min(c0 + CHUNK, ng)
             m = c1 - c0
-            qg_c = np.zeros((CHUNK, qg.shape[1]), np.int32)
-            tg_c = np.zeros((CHUNK, tg.shape[1]), np.int32)
+            qg_c = np.zeros((CHUNK, qg.shape[1]), qg.dtype)
+            tg_c = np.zeros((CHUNK, tg.shape[1]), tg.dtype)
             cnt_c = np.zeros(CHUNK, np.int32)
             qg_c[:m] = qg[c0:c1]
             tg_c[:m] = tg[c0:c1]
