@@ -76,6 +76,86 @@ def _pack_reads(reads: list[np.ndarray], read_max: int) -> np.ndarray:
         mat[i, : len(r)] = r
     return (mat[:, 0::2] << 4) | mat[:, 1::2]
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "q_max", "t_max", "band", "match", "mismatch",
+                     "gap_open", "gap_extend", "batch_tile", "backend",
+                     "min_chain_score", "max_per_read", "window_pad"))
+def _fused_map_dispatch(packed, qlens, qg, tg, gmeta, seq_data, seq_offsets,
+                        seq_lengths, *, k, q_max, t_max, band, match,
+                        mismatch, gap_open, gap_extend, batch_tile, backend,
+                        min_chain_score, max_per_read, window_pad):
+    """The whole map step after anchor collection as ONE device dispatch:
+    chain DP → per-read top-K gate → extension-window algebra → query/target
+    gathers → full-stats banded extension. On a remote-attached TPU every
+    dispatch costs a fixed RTT and every byte crosses a thin link, so the
+    chain results never come back to the host — only the final per-group
+    statistics do.
+
+    gmeta rows (int32): rid, seq_id, strand, t_base, n_anchors.
+    Returns (G, 11) int32: score, end_i, end_j, match, edit, begin_i,
+    begin_j, keep, qs, w_lo, chain_score.
+
+    Static-shape note: the banded kernel cannot reach target columns beyond
+    q_max + band/2, so clamping every window to t_max >= q_max + band loses
+    no reachable cell regardless of how long the chain's target span is.
+    """
+    import jax.numpy as jnp
+
+    from megapath_nano_tpu.align.chain import chain_and_extents
+
+    rid, seqid, strand, t_base, cnt = (gmeta[i] for i in range(5))
+    stacked = chain_and_extents(qg, tg, cnt)
+    best = stacked[0]
+    q_min, q_maxx, t_min, t_maxx = stacked[1:5]
+    G = best.shape[0]
+
+    # per-read rank by chain score (stable → group order breaks ties, same
+    # as the host lexsort); groups arrive sorted by read id. int32-safe
+    # composite: chain scores are < 2**15 here (score <= query span, and the
+    # fused path requires read_max + band < 2**15); rid < 2**16 per slice.
+    comp = rid * jnp.int32(1 << 15) \
+        + (jnp.int32((1 << 15) - 1) - jnp.minimum(best, (1 << 15) - 1))
+    order = jnp.argsort(comp)
+    rid_s = rid[order]
+    ar = jnp.arange(G, dtype=jnp.int32)
+    newrun = jnp.concatenate([jnp.ones(1, bool), rid_s[1:] != rid_s[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(newrun, ar, 0))
+    rank = jnp.zeros(G, jnp.int32).at[order].set(ar - run_start)
+    keep = (best >= min_chain_score) & (rank < max_per_read) & (cnt > 0)
+
+    # extension-window algebra (the host recs loop, vectorized)
+    qlen_g = qlens[rid]
+    q_lo = q_min - (k - 1)
+    q_hi = q_maxx + 1
+    t_lo = t_min + t_base - (k - 1)
+    t_hi = t_maxx + t_base + 1
+    seq_off = seq_offsets[seqid]
+    seq_len = seq_lengths[seqid]
+    left = jnp.minimum(q_lo, t_lo) + window_pad
+    right = jnp.minimum(qlen_g - q_hi, seq_len - t_hi) + window_pad
+    qs = jnp.maximum(q_lo - left, 0)
+    qe = jnp.minimum(q_hi + right, qlen_g)
+    w_lo = jnp.maximum(t_lo - (q_lo - qs), 0)
+    w_hi = jnp.minimum(t_hi + (qe - q_hi), seq_len)
+    rl = jnp.where(keep, qe - qs, 0).astype(jnp.int32)
+    tl = jnp.where(keep, jnp.minimum(w_hi - w_lo, t_max), 0).astype(jnp.int32)
+    start = jnp.where(keep, seq_off + w_lo, 0).astype(jnp.int32)
+
+    ra = _gather_queries(packed, rid, qlens, qs.astype(jnp.int32), rl,
+                         strand, q_max=q_max)
+    ta = _gather_windows(seq_data, start, t_max=t_max)
+    full = banded_sw_full(ra, rl, ta, tl, band=band, match=match,
+                          mismatch=mismatch, gap_open=gap_open,
+                          gap_extend=gap_extend, batch_tile=batch_tile,
+                          backend=backend)
+    extra = jnp.stack([keep.astype(jnp.int32), qs.astype(jnp.int32),
+                       w_lo.astype(jnp.int32), best.astype(jnp.int32)],
+                      axis=1)
+    return jnp.concatenate([full, extra], axis=1)
+
 from megapath_nano_tpu.align.anchors import collect_anchors, pack_groups
 from megapath_nano_tpu.align.chain import chain_and_extents
 from megapath_nano_tpu.align.records import ALIGN_DTYPE, AlignList
@@ -104,6 +184,7 @@ class AlignParams:
     extend_batch: int = 1024
     backend: str = "pallas"
     tiebreaker_seed: int = 0
+    fused: bool = True   # PAF mode: single-dispatch map step
 
 
 @dataclass
@@ -194,6 +275,108 @@ class MinimizerAligner:
         return _gather_windows(self._seq_data_dev,
                                jnp.asarray(starts, jnp.int32), t_max=t_max)
 
+    def _device_index_meta(self):
+        """Device-resident seq_offsets / seq_lengths (int32, lazy)."""
+        import jax
+
+        if getattr(self, "_seq_meta_dev", None) is None:
+            self._seq_meta_dev = (
+                jax.device_put(self.index.seq_offsets.astype(np.int32)),
+                jax.device_put(self.index.seq_lengths.astype(np.int32)))
+        return self._seq_meta_dev
+
+    def _finish_fused(self, reads, read_names, id_base, groups, qg, tg, cnt,
+                      t_base, read_max, _bucket, _band_for):
+        """PAF-mode tail of the map step via _fused_map_dispatch."""
+        p = self.params
+        idx = self.index
+        n_seqs = len(idx.seq_names)
+        seq_lens = idx.seq_lengths
+        if self._seq_data_dev is None:
+            self._device_refs(np.zeros(1, np.int32), 256)
+        seq_off_dev, seq_len_dev = self._device_index_meta()
+
+        ng = len(cnt)
+        gp = ((ng + 4095) // 4096) * 4096
+        qg_p = np.zeros((gp, qg.shape[1]), qg.dtype)
+        tg_p = np.zeros((gp, tg.shape[1]), tg.dtype)
+        qg_p[:ng] = qg
+        tg_p[:ng] = tg
+        gmeta = np.zeros((5, gp), np.int32)
+        gmeta[0, :ng] = groups.group_read
+        gmeta[1, :ng] = groups.group_seq
+        gmeta[2, :ng] = groups.group_strand
+        gmeta[3, :ng] = t_base
+        gmeta[4, :ng] = cnt
+        packed = _pack_reads(reads, read_max)
+        qlens_a = np.array([len(r) for r in reads], np.int32)
+
+        q_max = read_max
+        band = _band_for(q_max)
+        t_max = _bucket(q_max + band)
+        arr = np.asarray(_fused_map_dispatch(
+            packed, qlens_a, qg_p, tg_p, gmeta, self._seq_data_dev,
+            seq_off_dev, seq_len_dev, k=idx.k, q_max=q_max, t_max=t_max,
+            band=band, match=p.match, mismatch=p.mismatch,
+            gap_open=p.gap_open, gap_extend=p.gap_extend, batch_tile=128,
+            backend=p.backend, min_chain_score=p.min_chain_score,
+            max_per_read=p.max_alignments_per_read,
+            window_pad=p.window_pad)[:ng]).astype(np.int64)
+
+        kept = np.flatnonzero((arr[:, 7] == 1)
+                              & (arr[:, 0] > p.min_alignment_score))
+        if len(kept) == 0:
+            return AlignList.empty(idx.seq_names, self.meta.assembly_names,
+                                   read_names or [])
+        best_per_key: dict[tuple, int] = {}
+        read_best: dict[int, list] = {}
+        for g in kept:
+            rid = int(groups.group_read[g])
+            key = (rid, int(groups.group_seq[g]))
+            read_best.setdefault(rid, []).append(int(arr[g, 0]))
+            if key not in best_per_key or arr[g, 0] > arr[best_per_key[key], 0]:
+                best_per_key[key] = g
+
+        out = np.zeros(len(best_per_key), ALIGN_DTYPE)
+        for row, ((rid, seq_id), g) in enumerate(best_per_key.items()):
+            score, ei, ej, n_match, edit, bi, bj = (int(x) for x in arr[g, :7])
+            qs = int(arr[g, 8])
+            w_lo = int(arr[g, 9])
+            strand = int(groups.group_strand[g])
+            qlen = len(reads[rid])
+            ob, oe = qs + bi, qs + ei
+            if strand == 0:
+                read_from, read_to = ob, oe + 1
+            else:
+                read_from = qlen - (oe + 1)
+                read_to = qlen - ob
+            seq_from = w_lo + bj
+            seq_to = w_lo + ej + 1
+            ss = sorted(read_best[rid], reverse=True)
+            f1 = ss[0]
+            f2 = ss[1] if len(ss) > 1 else 0
+            mapq = 0 if f1 <= 0 else int(
+                min(60, 40.0 * max(0.0, 1.0 - f2 / f1)
+                    + 0.01 * min(f1, 2000)))
+            out[row] = (
+                rid + id_base, qlen, read_from, read_to, strand, seq_id,
+                int(seq_lens[seq_id]), seq_from, seq_to, n_match, mapq,
+                edit, score,
+                int(self.meta.assembly_idx[seq_id]),
+                int(self.meta.tax_id[seq_id]),
+                int(self.meta.species_tax_id[seq_id]),
+                int(self.meta.genus_tax_id[seq_id]),
+                0.0,
+            )
+        out["alignment_score_tiebreaker"] = _stable_uniform(
+            p.tiebreaker_seed, out["read_id"],
+            out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
+            + out["sequence_from"])
+        order = np.lexsort((out["sequence_id"], out["read_id"]))
+        return AlignList(out[order], list(idx.seq_names),
+                         list(self.meta.assembly_names), read_names or [],
+                         None)
+
     # -- helpers ----------------------------------------------------------
     def _target_window(self, seq_id: int, start: int, end: int) -> np.ndarray:
         off = self.index.seq_offsets
@@ -274,6 +457,28 @@ class MinimizerAligner:
         while a_bucket < min(int(sizes.max()), p.max_anchors_per_group):
             a_bucket *= 2
         qg, tg, cnt, t_base, _sel = pack_groups(groups, max_anchors=a_bucket)
+
+        def _bucket(x, lo=256):
+            b = lo
+            while b < x:
+                b *= 2
+            return b
+
+        def _band_for(qm):
+            if self.params.band is not None:
+                return self.params.band
+            return 128 if qm <= 2048 else (256 if qm <= 8192 else 512)
+
+        # PAF mode on in-range problems: the whole map step (chain → top-K →
+        # windows → extension) runs as a single device dispatch
+        read_max = _bucket(max(len(r) for r in reads))
+        if (not emit_cigars and p.fused
+                and read_max + _band_for(read_max) < 2 ** 15
+                and idx.seq_data.size < 2 ** 31 - 2 ** 16):
+            return self._finish_fused(reads, read_names, id_base, groups,
+                                      qg, tg, cnt, t_base, read_max,
+                                      _bucket, _band_for)
+
         # chain in fixed-size chunks: exactly one compiled shape, and all
         # chunk outputs are stacked on device and fetched in one transfer
         ng = len(cnt)
@@ -378,6 +583,8 @@ class MinimizerAligner:
             # link once; query windows (with strand flip) and target windows
             # are both gathered on device (the remote link, not the DP,
             # bounds this path)
+            if self._seq_data_dev is None:   # also set by map_reads pre-init
+                self._device_refs(np.zeros(1, np.int32), 256)
             mp = ((n_ext + 1023) // 1024) * 1024
             read_max = _bucket(max(len(r) for r in reads))
             packed = _pack_reads(reads, read_max)
