@@ -45,6 +45,24 @@ def build_ref(args) -> int:
 
     tax = [(0, 0, 0)] * len(assembly_names)
     tax_names = {}
+    if args.taxdump and args.assembly_summary:
+        # derive taxonomy like the reference's genAssemblyMetadata.py:
+        # species/genus ids + names from nodes.dmp/names.dmp + the NCBI
+        # assembly_summary.txt (accession -> taxid)
+        from megapath_nano_tpu.db.taxdump import (Taxonomy,
+                                                  parse_assembly_summary)
+
+        taxo = Taxonomy.load(args.taxdump)
+        summary = {r["accession"]: r
+                   for r in parse_assembly_summary(args.assembly_summary)}
+        for ai, name in enumerate(assembly_names):
+            row = summary.get(name)
+            if row is None:
+                continue
+            tid, sp, gp, _h = taxo.assembly_tax_row(
+                row["tax_id"], row["species_tax_id"] or None)
+            tax[ai] = (tid, sp, gp)
+            tax_names[sp] = taxo.name_of(sp)
     if args.metadata:
         with open(args.metadata) as f:
             rows = [line.rstrip("\n").split("\t") for line in f
@@ -90,6 +108,12 @@ def main(argv=None) -> int:
     pr.add_argument("--fasta", action="append", required=True)
     pr.add_argument("--assembly_name", action="append")
     pr.add_argument("--metadata")
+    pr.add_argument("--taxdump",
+                    help="NCBI taxdump dir (nodes.dmp, names.dmp); derives "
+                         "tax columns like genAssemblyMetadata.py")
+    pr.add_argument("--assembly_summary",
+                    help="NCBI assembly_summary.txt (with --taxdump); "
+                         "assembly names must be accessions")
     pr.add_argument("--out", required=True)
     pr.add_argument("--k", type=int, default=15)
     pr.add_argument("--w", type=int, default=10)
