@@ -329,13 +329,16 @@ class MinimizerAligner:
             return AlignList.empty(idx.seq_names, self.meta.assembly_names,
                                    read_names or [])
         best_per_key: dict[tuple, int] = {}
-        read_best: dict[int, list] = {}
         for g in kept:
             rid = int(groups.group_read[g])
             key = (rid, int(groups.group_seq[g]))
-            read_best.setdefault(rid, []).append(int(arr[g, 0]))
             if key not in best_per_key or arr[g, 0] > arr[best_per_key[key], 0]:
                 best_per_key[key] = g
+        # mapq from per-(read, sequence) best scores only — shard-stable:
+        # a cross-shard merge recomputes the identical value from the rows
+        read_best: dict[int, list] = {}
+        for (rid, _seq), g in best_per_key.items():
+            read_best.setdefault(rid, []).append(int(arr[g, 0]))
 
         out = np.zeros(len(best_per_key), ALIGN_DTYPE)
         for row, ((rid, seq_id), g) in enumerate(best_per_key.items()):
@@ -645,10 +648,11 @@ class MinimizerAligner:
                     or scores[i] > scores[best_per_key[key]]):
                 best_per_key[key] = i
 
-        # mapq from chain-score ratio per read (minimap2-flavored)
+        # mapq from per-(read, sequence) best scores (minimap2-flavored
+        # best-vs-secondary-location ratio; shard-stable, see _finish_fused)
         read_best: dict[int, list] = {}
-        for i, r in enumerate(recs):
-            read_best.setdefault(r["rid"], []).append(int(scores[i]))
+        for (rid, _seq), i in best_per_key.items():
+            read_best.setdefault(rid, []).append(int(scores[i]))
 
         emit_keys = list(best_per_key.items())
         if full_ok:

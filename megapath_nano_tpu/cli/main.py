@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 = no cap")
     p.add_argument("--backend", choices=["pallas", "jnp"], default=None,
                    help="DP backend (default: pallas on TPU, jnp otherwise)")
+    p.add_argument("--index_shards", type=int, default=1,
+                   help="partition the reference index into N shards "
+                        "(multi-chip/host layout; 1 = monolithic)")
     return p
 
 
@@ -181,8 +184,20 @@ def main(argv=None) -> int:
         emit_cigars=bool((args.amr and args.amr_db)
                          or args.amplicon_filter_module),
     )
+    aligner = None
+    if args.index_shards > 1:
+        from megapath_nano_tpu.dist.sharded_aligner import ShardedAligner
+
+        idx = db.index
+        seqs = [idx.seq_data[idx.seq_offsets[i]: idx.seq_offsets[i + 1]]
+                for i in range(len(idx.seq_names))]
+        aligner = ShardedAligner.build(
+            seqs, list(idx.seq_names), db.sequence_meta.assembly_idx,
+            db.assembly_names, args.index_shards, meta=db.sequence_meta,
+            params=options.align, k=idx.k, w=idx.w)
+        log.message(f"index sharded {args.index_shards} ways")
     profiler = TaxonProfiler(db, options, human_db=human_db,
-                             decoy_db=decoy_db, log=log)
+                             decoy_db=decoy_db, log=log, aligner=aligner)
     result = profiler.profile(reads, names)
 
     prefix = args.output_prefix or os.path.splitext(

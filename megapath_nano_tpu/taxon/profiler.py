@@ -122,11 +122,15 @@ def _best_as_per_read(align_list: AlignList) -> dict[int, int]:
 class TaxonProfiler:
     def __init__(self, db: RefDB, options: ProfileOptions | None = None,
                  human_db: RefDB | None = None,
-                 decoy_db: RefDB | None = None, log: Log | None = None):
+                 decoy_db: RefDB | None = None, log: Log | None = None,
+                 aligner=None):
         self.db = db
         self.options = options or ProfileOptions()
-        self.aligner = MinimizerAligner(db.index, db.sequence_meta,
-                                        self.options.align)
+        # aligner override: pass a dist.sharded_aligner.ShardedAligner to
+        # profile against an index partitioned across chips/hosts (output
+        # parity with the single-index aligner is tested)
+        self.aligner = aligner or MinimizerAligner(db.index, db.sequence_meta,
+                                                   self.options.align)
         self.human_db = human_db
         self.decoy_db = decoy_db
         self.log = log or Log("taxon")

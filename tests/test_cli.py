@@ -97,3 +97,31 @@ def test_build_and_run(world):
     read_stat = open(out / "demo.read_stat").read()
     assert "input\t50" in read_stat
     assert os.path.exists(out / "demo.timing")
+
+
+def test_sharded_run_matches_monolithic(world):
+    """--index_shards N must reproduce the monolithic preport exactly."""
+    if not (world / "refdb").exists():   # build independently of test order
+        r = _run(["megapath_nano_tpu.cli.build_db", "ref",
+                  "--fasta", str(world / "asm1.fna"),
+                  "--fasta", str(world / "asm2.fna"),
+                  "--metadata", str(world / "meta.tsv"),
+                  "--out", str(world / "refdb")])
+        assert r.returncode == 0, r.stderr
+    out1 = world / "out_mono"
+    out2 = world / "out_shard"
+    for out, extra in ((out1, []), (out2, ["--index_shards", "3"])):
+        r = _run(["megapath_nano_tpu.cli.main",
+                  "--query", str(world / "reads.fastq"),
+                  "--db", str(world / "refdb"),
+                  "--output_folder", str(out),
+                  "--output_prefix", "demo",
+                  "--no_amr",
+                  "--backend", "jnp"] + extra)
+        assert r.returncode == 0, r.stderr
+    assert (open(out1 / "demo.preport").read()
+            == open(out2 / "demo.preport").read())
+    assert (open(out1 / "demo.microbe_stat").read()
+            == open(out2 / "demo.microbe_stat").read())
+    assert (open(out1 / "demo.species.paf").read()
+            == open(out2 / "demo.species.paf").read())
