@@ -166,6 +166,36 @@ void mpn_lookup(const uint64_t* keys, int64_t n_keys, const uint64_t* queries,
   for (auto& t : threads) t.join();
 }
 
+// LUT-accelerated batch lookup: lut[b] = first index in keys whose top
+// lut_bits equal-or-exceed bucket b (host-built via one vectorized
+// searchsorted over bucket boundaries; lut has 2^lut_bits + 1 entries).
+// Hashes are avalanche-mixed, so buckets are uniform and each binary search
+// runs over ~n_keys / 2^lut_bits elements — 2 cache lines instead of ~20.
+void mpn_lookup_lut(const uint64_t* keys, int64_t n_keys,
+                    const int64_t* lut, int32_t lut_bits,
+                    const uint64_t* queries, int64_t n_q, int64_t* lo_out,
+                    int64_t* hi_out, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const int shift = 64 - lut_bits;
+  std::vector<std::thread> threads;
+  auto work = [&](int tid) {
+    int64_t chunk = (n_q + n_threads - 1) / n_threads;
+    int64_t s = tid * chunk, e = std::min(n_q, s + chunk);
+    for (int64_t i = s; i < e; ++i) {
+      uint64_t q = queries[i];
+      uint64_t b = q >> shift;
+      const uint64_t* first = keys + lut[b];
+      const uint64_t* last = keys + lut[b + 1];
+      const uint64_t* lo = std::lower_bound(first, last, q);
+      const uint64_t* hi = std::upper_bound(lo, last, q);
+      lo_out[i] = lo - keys;
+      hi_out[i] = hi - keys;
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& t : threads) t.join();
+}
+
 // Batch sketch: concatenated reads + offsets -> concatenated minimizers with
 // per-read offsets. Two-phase: call with hashes_out == NULL to get required
 // total size, then with buffers. out_offsets has n_reads+1 entries.

@@ -73,21 +73,11 @@ def collect_anchors(
                         np.diff(moff))
     read_lens = np.array([len(r) for r in reads], np.int64)
 
-    # threaded native binary search (2-4x numpy searchsorted)
-    import ctypes
+    # LUT-bucketed threaded native binary search
     import os
 
-    from megapath_nano_tpu.native.lib import load_native_lib
-
-    lib = load_native_lib()
-    lo = np.zeros(len(hashes), np.int64)
-    hi = np.zeros(len(hashes), np.int64)
-    u64p = ctypes.POINTER(ctypes.c_uint64)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.mpn_lookup(keys.ctypes.data_as(u64p), len(keys),
-                   np.ascontiguousarray(hashes).ctypes.data_as(u64p),
-                   len(hashes), lo.ctypes.data_as(i64p),
-                   hi.ctypes.data_as(i64p), min(os.cpu_count() or 1, 8))
+    lo, hi = index.lookup_ranges(hashes,
+                                 n_threads=min(os.cpu_count() or 1, 8))
     cnt = hi - lo
     keep = (cnt > 0) & (cnt <= max_occ)
     if not keep.any():

@@ -38,10 +38,42 @@ class MinimizerIndex:
     # concatenated numeric target sequences + offsets, for extension stage
     seq_data: np.ndarray | None = None
     seq_offsets: np.ndarray | None = None
+    _lut: np.ndarray | None = None     # bucket LUT for the native lookup
+    _lut_bits: int = 0
 
     @property
     def num_minimizers(self) -> int:
         return len(self.keys)
+
+    def lookup_ranges(self, hashes: np.ndarray, n_threads: int = 2):
+        """[lo, hi) range in `keys` per query hash — LUT-bucketed native
+        binary search (hashes are avalanche-mixed, so top-bit buckets are
+        uniform; each search touches ~2 cache lines)."""
+        import ctypes
+
+        from megapath_nano_tpu.native.lib import load_native_lib
+
+        lib = load_native_lib()
+        if self._lut is None:
+            bits = max(8, min(16, int(np.log2(max(len(self.keys), 2))) - 3))
+            bounds = (np.arange(2 ** bits + 1, dtype=np.uint64)
+                      << np.uint64(64 - bits))
+            bounds[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            lut = np.searchsorted(self.keys, bounds).astype(np.int64)
+            lut[-1] = len(self.keys)
+            self._lut = lut
+            self._lut_bits = bits
+        lo = np.zeros(len(hashes), np.int64)
+        hi = np.zeros(len(hashes), np.int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.mpn_lookup_lut(
+            self.keys.ctypes.data_as(u64p), len(self.keys),
+            self._lut.ctypes.data_as(i64p), self._lut_bits,
+            np.ascontiguousarray(hashes).ctypes.data_as(u64p),
+            len(hashes), lo.ctypes.data_as(i64p), hi.ctypes.data_as(i64p),
+            n_threads)
+        return lo, hi
 
     @staticmethod
     def build(

@@ -136,6 +136,9 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.mpn_lookup.restype = None
     lib.mpn_lookup.argtypes = [u64p, c.c_int64, u64p, c.c_int64, i64p, i64p,
                                c.c_int32]
+    lib.mpn_lookup_lut.restype = None
+    lib.mpn_lookup_lut.argtypes = [u64p, c.c_int64, i64p, c.c_int32, u64p,
+                                   c.c_int64, i64p, i64p, c.c_int32]
     lib.mpn_sketch_batch.restype = c.c_int64
     lib.mpn_sketch_batch.argtypes = [
         i8p, i64p, c.c_int32, c.c_int, c.c_int, u64p, i64p, i8p, i64p,
