@@ -30,7 +30,7 @@ BASELINE_READS_PER_S = 25000.0
 
 N_GENOMES = 10
 GENOME_LEN = 300_000
-N_READS = 4096
+N_READS = 8192
 READ_LEN = 1000
 ERR = 0.06
 

@@ -56,56 +56,28 @@ def collect_anchors(
     this — the chain DP can't link across them (max_dist), and smaller
     groups keep the packed anchor arrays dense and int16-safe.
     """
-    keys = index.keys
     empty = AnchorGroups(np.zeros(0, np.int32), np.zeros(0, np.int64),
                          np.zeros(1, np.int64), np.zeros(0, np.int32),
                          np.zeros(0, np.int32), np.zeros(0, np.int8))
     if not reads:
         return empty
 
-    # one native call sketches every read; everything after is flat numpy
-    from megapath_nano_tpu.index.minimizer import sketch_batch
-
-    hashes, q_pos, q_strand, moff = sketch_batch(reads, k=index.k, w=index.w)
-    if len(hashes) == 0:
-        return empty
-    read_of = np.repeat(np.arange(len(reads), dtype=np.int32),
-                        np.diff(moff))
-    read_lens = np.array([len(r) for r in reads], np.int64)
-
-    # LUT-bucketed threaded native binary search
+    # ONE native call: sketch → LUT lookup → hit expansion (max_occ repeat
+    # masking) → per-read sort. Output arrives ordered by
+    # (read, seq, strand, t, q) with no global lexsort.
     import os
 
-    lo, hi = index.lookup_ranges(hashes,
-                                 n_threads=min(os.cpu_count() or 1, 8))
-    cnt = hi - lo
-    keep = (cnt > 0) & (cnt <= max_occ)
-    if not keep.any():
+    n = len(reads)
+    flat = np.concatenate([np.asarray(r, np.int8) for r in reads])
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offsets[1:])
+    q, t, seq, strand, roffs = index.anchor_arrays(
+        flat, offsets, max_occ=max_occ,
+        n_threads=min(os.cpu_count() or 1, 8))
+    if len(q) == 0:
         return empty
-    lo = lo[keep]
-    n_hits = cnt[keep].astype(np.int64)
-    q_pos_k = q_pos[keep]
-    q_strand_k = q_strand[keep]
-    rid_k = read_of[keep]
+    rid = np.repeat(np.arange(n, dtype=np.int32), np.diff(roffs))
 
-    total = int(n_hits.sum())
-    starts = np.repeat(lo, n_hits)
-    offs = np.arange(total) - np.repeat(
-        np.concatenate([[0], np.cumsum(n_hits)[:-1]]), n_hits)
-    packed = index.positions[starts + offs]
-    seq, t, t_strand = index.unpack(packed)
-    q_rep = np.repeat(q_pos_k, n_hits).astype(np.int64)
-    qs_rep = np.repeat(q_strand_k, n_hits)
-    strand = (qs_rep ^ t_strand).astype(np.int8)
-    rid = np.repeat(rid_k, n_hits)
-    qlen_rep = read_lens[rid]
-    # flip query coords for minus-strand anchors (k-mer end in revcomp)
-    q = np.where(strand == 1, qlen_rep + index.k - 2 - q_rep,
-                 q_rep).astype(np.int32)
-
-    # sort by (read, seq, strand, t, q) then cut into groups
-    order = np.lexsort((q, t, strand, seq, rid))
-    q, t, rid, seq, strand = (a[order] for a in (q, t, rid, seq, strand))
     new_group = np.empty(len(q), bool)
     new_group[0] = True
     new_group[1:] = (rid[1:] != rid[:-1]) | (seq[1:] != seq[:-1]) \
@@ -129,6 +101,44 @@ def collect_anchors(
         group_seq=seq[group_starts],
         group_strand=strand[group_starts],
     )
+
+
+def pack_groups_flat(groups: AnchorGroups, *, cap: int = 32):
+    """Ragged (flat) packing of anchor groups for the fused device path.
+
+    Each group keeps at most `cap` anchors, subsampled evenly (first and last
+    always kept, so chain extents are preserved). Returns
+    (flat_q, flat_t, cnt, t_base): flat int16/int32 coordinate arrays of
+    total length cnt.sum(), per-group counts, and per-group target bases.
+    The device dispatch rebuilds the padded (n_groups, cap) matrices with a
+    gather — uploading only the ragged data cuts the host→device link
+    traffic ~4-8x vs padded matrices (the map path's bound on a
+    remote-attached TPU). Fully vectorized (no per-group Python loop).
+    """
+    n = groups.n_groups
+    if n == 0:
+        z16 = np.zeros(0, np.int16)
+        return z16, z16, np.zeros(0, np.int32), np.zeros(0, np.int64)
+    sizes = np.diff(groups.group_offsets).astype(np.int64)
+    m = np.minimum(sizes, cap)
+    total = int(m.sum())
+    starts0 = np.concatenate([[0], np.cumsum(m)[:-1]])
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts0, m)
+    s_rep = np.repeat(groups.group_offsets[:-1], m)
+    size_rep = np.repeat(sizes, m)
+    m_rep = np.repeat(m, m)
+    # even subsample: j * (size-1) // (m-1); keeps endpoints exactly
+    pick = s_rep + np.where(m_rep > 1,
+                            j * (size_rep - 1) // np.maximum(m_rep - 1, 1),
+                            0)
+    t_base = groups.t_end[groups.group_offsets[:-1]]
+    flat_q = groups.q_end[pick].astype(np.int32)
+    flat_t = (groups.t_end[pick] - np.repeat(t_base, m)).astype(np.int32)
+    if total == 0 or (flat_q.max() < 2 ** 15 and flat_t.max() < 2 ** 15
+                      and flat_q.min() >= 0):
+        flat_q = flat_q.astype(np.int16)
+        flat_t = flat_t.astype(np.int16)
+    return flat_q, flat_t, m.astype(np.int32), t_base
 
 
 def pack_groups(groups: AnchorGroups, *, max_anchors: int = 256):

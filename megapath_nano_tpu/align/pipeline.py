@@ -26,20 +26,43 @@ def _gather_windows(seq, starts, *, t_max):
         lambda s: jax.lax.dynamic_slice(seq, (s,), (t_max,)))(starts)
 
 
+def _goffs_from_cnt(cnt):
+    """Device-side exclusive prefix sum of per-group anchor counts — the
+    row offsets into the ragged anchor arrays (saves an upload)."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(cnt, dtype=jnp.int32)])
+
+
+def _unpack_reads(packed2, exc_rid, exc_pos):
+    """Device-side unpack of 2-bit read codes to an (n, read_max) int8
+    matrix. Rare non-ACGT codes (N) are restored from the exception lists
+    (scatter with mode='drop': padding rows carry an out-of-bounds rid)."""
+    import jax.numpy as jnp
+
+    n, nb = packed2.shape
+    b = packed2[:, :, None]
+    shifts = jnp.array([6, 4, 2, 0], jnp.uint8)[None, None, :]
+    codes = ((b >> shifts) & 3).reshape(n, nb * 4).astype(jnp.int8)
+    return codes.at[exc_rid, exc_pos].set(jnp.int8(4), mode="drop")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("q_max", "t_max", "band", "match", "mismatch",
                      "gap_open", "gap_extend", "batch_tile", "backend"))
-def _extend_full_dispatch(packed, qlens, meta, seq_data, *, q_max, t_max,
-                          band, match, mismatch, gap_open, gap_extend,
-                          batch_tile, backend):
+def _extend_full_dispatch(packed2, exc_rid, exc_pos, qlens, meta, seq_data,
+                          *, q_max, t_max, band, match, mismatch, gap_open,
+                          gap_extend, batch_tile, backend):
     """One-dispatch PAF extension: gather oriented query windows from the
     packed read matrix and target windows from the resident reference, then
     run the full-stats banded kernel. meta rows: rid, qs, qwlen, strand,
     t_start, t_len — bundled so the remote link sees ONE small upload instead
     of six (each costs a fixed ~30ms RTT on a tunneled TPU)."""
     rid, qs, qwlen, strand, t_start, t_len = (meta[i] for i in range(6))
-    ra = _gather_queries(packed, rid, qlens, qs, qwlen, strand, q_max=q_max)
+    codes = _unpack_reads(packed2, exc_rid, exc_pos)
+    ra = _gather_queries(codes, rid, qlens, qs, qwlen, strand, q_max=q_max)
     ta = _gather_windows(seq_data, t_start, t_max=t_max)
     return banded_sw_full(ra, qwlen, ta, t_len, band=band, match=match,
                           mismatch=mismatch, gap_open=gap_open,
@@ -48,11 +71,11 @@ def _extend_full_dispatch(packed, qlens, meta, seq_data, *, q_max, t_max,
 
 
 @functools.partial(jax.jit, static_argnames=("q_max",))
-def _gather_queries(packed, rid, qlens, qs, wlen, strand, *, q_max):
-    """Build oriented query windows on device from the packed read matrix
-    (2 base codes per byte, high nibble first). Row r of the result is
+def _gather_queries(codes, rid, qlens, qs, wlen, strand, *, q_max):
+    """Build oriented query windows on device from the unpacked (n, read_max)
+    code matrix. Row r of the result is
     (revcomp(read) if strand else read)[qs : qs+wlen] padded with 4 — the
-    reads cross the host↔device link once per slice, halved by packing."""
+    reads cross the host↔device link 2-bit packed, once per slice."""
     import jax.numpy as jnp
 
     cols = jnp.arange(q_max, dtype=jnp.int32)[None, :]
@@ -61,37 +84,61 @@ def _gather_queries(packed, rid, qlens, qs, wlen, strand, *, q_max):
     minus = (strand[:, None] == 1)
     src = jnp.where(minus, ql - 1 - pos, pos)
     valid = (cols < wlen[:, None]) & (src >= 0) & (src < ql)
-    srcc = jnp.clip(src, 0, packed.shape[1] * 2 - 1)
-    byte = packed[rid[:, None], srcc >> 1]
-    code = jnp.where(srcc % 2 == 1, byte & 15, byte >> 4).astype(jnp.int32)
+    srcc = jnp.clip(src, 0, codes.shape[1] - 1)
+    code = codes[rid[:, None], srcc].astype(jnp.int32)
     code = jnp.where(minus & (code < 4), 3 - code, code)
     return jnp.where(valid, code, 4).astype(jnp.int8)
 
 
-def _pack_reads(reads: list[np.ndarray], read_max: int) -> np.ndarray:
-    """Host-side 2-codes-per-byte packing of a read batch (pad code 4)."""
+def _pack_reads2(reads: list[np.ndarray], read_max: int):
+    """Host-side 2-bit packing of a read batch: (n, read_max/4) uint8 plus
+    exception lists (rid, pos) for non-ACGT codes. Positions beyond each
+    read's length carry arbitrary 2-bit codes — every device consumer masks
+    by read length. Exception padding rows use rid = n (dropped by the
+    device scatter)."""
     n = len(reads)
-    mat = np.full((n, read_max), 4, np.uint8)
+    mat = np.zeros((n, read_max), np.uint8)
+    exc_r, exc_p = [], []
     for i, r in enumerate(reads):
         mat[i, : len(r)] = r
-    return (mat[:, 0::2] << 4) | mat[:, 1::2]
+        bad = np.flatnonzero(r > 3)
+        if len(bad):
+            exc_r.append(np.full(len(bad), i, np.int32))
+            exc_p.append(bad.astype(np.int32))
+            mat[i, bad] = 0
+    packed2 = (mat[:, 0::4] << 6) | (mat[:, 1::4] << 4) \
+        | (mat[:, 2::4] << 2) | mat[:, 3::4]
+    ne = sum(len(a) for a in exc_r)
+    ep = 64
+    while ep < ne:
+        ep *= 2
+    exc_rid = np.full(ep, n, np.int32)      # out-of-bounds → dropped
+    exc_pos = np.zeros(ep, np.int32)
+    if ne:
+        exc_rid[:ne] = np.concatenate(exc_r)
+        exc_pos[:ne] = np.concatenate(exc_p)
+    return packed2, exc_rid, exc_pos
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "q_max", "t_max", "band", "match", "mismatch",
-                     "gap_open", "gap_extend", "batch_tile", "backend",
-                     "min_chain_score", "max_per_read", "window_pad"))
-def _fused_map_dispatch(packed, qlens, qg, tg, gmeta, seq_data, seq_offsets,
-                        seq_lengths, *, k, q_max, t_max, band, match,
-                        mismatch, gap_open, gap_extend, batch_tile, backend,
-                        min_chain_score, max_per_read, window_pad):
+    static_argnames=("k", "a_bucket", "q_max", "t_max", "band", "match",
+                     "mismatch", "gap_open", "gap_extend", "batch_tile",
+                     "backend", "min_chain_score", "max_per_read",
+                     "window_pad"))
+def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
+                        gmeta, seq_data, seq_offsets,
+                        seq_lengths, *, k, a_bucket, q_max, t_max, band,
+                        match, mismatch, gap_open, gap_extend, batch_tile,
+                        backend, min_chain_score, max_per_read, window_pad):
     """The whole map step after anchor collection as ONE device dispatch:
     chain DP → per-read top-K gate → extension-window algebra → query/target
     gathers → full-stats banded extension. On a remote-attached TPU every
     dispatch costs a fixed RTT and every byte crosses a thin link, so the
     chain results never come back to the host — only the final per-group
-    statistics do.
+    statistics do. Anchors arrive ragged (flat_q/flat_t + goffs row offsets)
+    and are padded to (n_groups, a_bucket) by an on-device gather; reads
+    arrive 2-bit packed.
 
     gmeta rows (int32): rid, seq_id, strand, t_base, n_anchors.
     Returns (G, 11) int32: score, end_i, end_j, match, edit, begin_i,
@@ -106,6 +153,13 @@ def _fused_map_dispatch(packed, qlens, qg, tg, gmeta, seq_data, seq_offsets,
     from megapath_nano_tpu.align.chain import chain_and_extents
 
     rid, seqid, strand, t_base, cnt = (gmeta[i] for i in range(5))
+    # rebuild padded anchor matrices from the ragged upload
+    goffs = _goffs_from_cnt(cnt)
+    a_cols = jnp.arange(a_bucket, dtype=jnp.int32)[None, :]
+    srcs = jnp.clip(goffs[:-1, None] + a_cols, 0, flat_q.shape[0] - 1)
+    a_mask = a_cols < cnt[:, None]
+    qg = jnp.where(a_mask, flat_q[srcs].astype(jnp.int32), 0)
+    tg = jnp.where(a_mask, flat_t[srcs].astype(jnp.int32), 0)
     stacked = chain_and_extents(qg, tg, cnt)
     best = stacked[0]
     q_min, q_maxx, t_min, t_maxx = stacked[1:5]
@@ -144,7 +198,8 @@ def _fused_map_dispatch(packed, qlens, qg, tg, gmeta, seq_data, seq_offsets,
     tl = jnp.where(keep, jnp.minimum(w_hi - w_lo, t_max), 0).astype(jnp.int32)
     start = jnp.where(keep, seq_off + w_lo, 0).astype(jnp.int32)
 
-    ra = _gather_queries(packed, rid, qlens, qs.astype(jnp.int32), rl,
+    codes = _unpack_reads(packed2, exc_rid, exc_pos)
+    ra = _gather_queries(codes, rid, qlens, qs.astype(jnp.int32), rl,
                          strand, q_max=q_max)
     ta = _gather_windows(seq_data, start, t_max=t_max)
     full = banded_sw_full(ra, rl, ta, tl, band=band, match=match,
@@ -156,7 +211,8 @@ def _fused_map_dispatch(packed, qlens, qg, tg, gmeta, seq_data, seq_offsets,
                       axis=1)
     return jnp.concatenate([full, extra], axis=1)
 
-from megapath_nano_tpu.align.anchors import collect_anchors, pack_groups
+from megapath_nano_tpu.align.anchors import (collect_anchors, pack_groups,
+                                             pack_groups_flat)
 from megapath_nano_tpu.align.chain import chain_and_extents
 from megapath_nano_tpu.align.records import ALIGN_DTYPE, AlignList
 from megapath_nano_tpu.index.minimizer import MinimizerIndex
@@ -181,6 +237,7 @@ class AlignParams:
     min_alignment_score: int = 0
     window_pad: int = 64
     max_anchors_per_group: int = 256
+    fused_anchor_cap: int = 32   # ragged per-group anchor cap (fused path)
     extend_batch: int = 1024
     backend: str = "pallas"
     tiebreaker_seed: int = 0
@@ -285,92 +342,137 @@ class MinimizerAligner:
                 jax.device_put(self.index.seq_lengths.astype(np.int32)))
         return self._seq_meta_dev
 
-    def _finish_fused(self, reads, read_names, id_base, groups, qg, tg, cnt,
-                      t_base, read_max, _bucket, _band_for):
-        """PAF-mode tail of the map step via _fused_map_dispatch."""
+    def _finish_fused(self, reads, read_names, id_base, groups, read_max,
+                      _bucket, _band_for):
+        """PAF-mode tail of the map step via _fused_map_dispatch. Anchors
+        cross the link ragged (flat arrays + on-device offsets), reads 2-bit
+        packed; the row tail is fully vectorized numpy."""
+        fut, ctx = self._fused_submit(reads, groups, read_max, _bucket,
+                                      _band_for)
+        return self._fused_collect(fut, ctx, id_base, read_names)
+
+    def _fused_submit(self, reads, groups, read_max, _bucket, _band_for):
+        """Host pack + async device dispatch for one slice. Returns
+        (future, ctx); the device computes while the host prepares the next
+        slice — the single-thread pipelining used by map_reads."""
         p = self.params
         idx = self.index
-        n_seqs = len(idx.seq_names)
-        seq_lens = idx.seq_lengths
         if self._seq_data_dev is None:
             self._device_refs(np.zeros(1, np.int32), 256)
         seq_off_dev, seq_len_dev = self._device_index_meta()
 
+        cap = p.fused_anchor_cap
+        flat_q, flat_t, cnt, t_base = pack_groups_flat(groups, cap=cap)
         ng = len(cnt)
         gp = ((ng + 4095) // 4096) * 4096
-        qg_p = np.zeros((gp, qg.shape[1]), qg.dtype)
-        tg_p = np.zeros((gp, tg.shape[1]), tg.dtype)
-        qg_p[:ng] = qg
-        tg_p[:ng] = tg
         gmeta = np.zeros((5, gp), np.int32)
         gmeta[0, :ng] = groups.group_read
         gmeta[1, :ng] = groups.group_seq
         gmeta[2, :ng] = groups.group_strand
         gmeta[3, :ng] = t_base
         gmeta[4, :ng] = cnt
-        packed = _pack_reads(reads, read_max)
+        na = len(flat_q)
+        ap = 4096
+        while ap < na:
+            ap *= 2
+        fq = np.zeros(ap, flat_q.dtype)
+        ft = np.zeros(ap, flat_t.dtype)
+        fq[:na] = flat_q
+        ft[:na] = flat_t
+        packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max)
         qlens_a = np.array([len(r) for r in reads], np.int32)
 
         q_max = read_max
         band = _band_for(q_max)
         t_max = _bucket(q_max + band)
-        arr = np.asarray(_fused_map_dispatch(
-            packed, qlens_a, qg_p, tg_p, gmeta, self._seq_data_dev,
-            seq_off_dev, seq_len_dev, k=idx.k, q_max=q_max, t_max=t_max,
+        fut = _fused_map_dispatch(
+            packed2, exc_rid, exc_pos, qlens_a, fq, ft, gmeta,
+            self._seq_data_dev, seq_off_dev, seq_len_dev, k=idx.k,
+            a_bucket=cap, q_max=q_max, t_max=t_max,
             band=band, match=p.match, mismatch=p.mismatch,
             gap_open=p.gap_open, gap_extend=p.gap_extend, batch_tile=128,
             backend=p.backend, min_chain_score=p.min_chain_score,
             max_per_read=p.max_alignments_per_read,
-            window_pad=p.window_pad)[:ng]).astype(np.int64)
+            window_pad=p.window_pad)
+        return fut, (groups, qlens_a, ng)
+
+    def _fused_collect(self, fut, ctx, id_base, read_names):
+        """Harvest one slice's dispatch and build align_list rows
+        (vectorized numpy)."""
+        p = self.params
+        idx = self.index
+        n_seqs = len(idx.seq_names)
+        seq_lens = idx.seq_lengths
+        groups, qlens_a, ng = ctx
+        arr = np.asarray(fut)[:ng].astype(np.int64)
 
         kept = np.flatnonzero((arr[:, 7] == 1)
                               & (arr[:, 0] > p.min_alignment_score))
         if len(kept) == 0:
             return AlignList.empty(idx.seq_names, self.meta.assembly_names,
                                    read_names or [])
-        best_per_key: dict[tuple, int] = {}
-        for g in kept:
-            rid = int(groups.group_read[g])
-            key = (rid, int(groups.group_seq[g]))
-            if key not in best_per_key or arr[g, 0] > arr[best_per_key[key], 0]:
-                best_per_key[key] = g
+        # best group per (read, sequence): stable sort keeps the earliest
+        # group on score ties (same rule as the reference's first-wins scan)
+        rid_k = groups.group_read[kept].astype(np.int64)
+        seq_k = groups.group_seq[kept].astype(np.int64)
+        sc_k = arr[kept, 0]
+        key = rid_k * np.int64(n_seqs + 1) + seq_k
+        o = np.lexsort((-sc_k, key))
+        ks = key[o]
+        first = np.empty(len(o), bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        g = kept[o[first]]
+
+        rid_s = groups.group_read[g].astype(np.int64)
+        seq_s = groups.group_seq[g].astype(np.int64)
+        sc_s = arr[g, 0]
         # mapq from per-(read, sequence) best scores only — shard-stable:
         # a cross-shard merge recomputes the identical value from the rows
-        read_best: dict[int, list] = {}
-        for (rid, _seq), g in best_per_key.items():
-            read_best.setdefault(rid, []).append(int(arr[g, 0]))
+        o2 = np.lexsort((-sc_s, rid_s))
+        r2 = rid_s[o2]
+        firstr = np.empty(len(o2), bool)
+        firstr[0] = True
+        firstr[1:] = r2[1:] != r2[:-1]
+        runid = np.cumsum(firstr) - 1
+        starts = np.flatnonzero(firstr)
+        runlen = np.diff(np.append(starts, len(o2)))
+        s_sorted = sc_s[o2]
+        f1_run = s_sorted[starts]
+        f2_run = np.where(runlen > 1,
+                          s_sorted[np.minimum(starts + 1, len(o2) - 1)], 0)
+        f1 = np.empty(len(o2), np.int64)
+        f2 = np.empty(len(o2), np.int64)
+        f1[o2] = f1_run[runid]
+        f2[o2] = f2_run[runid]
+        mq = 40.0 * np.maximum(0.0, 1.0 - f2 / np.maximum(f1, 1)) \
+            + 0.01 * np.minimum(f1, 2000)
+        mapq = np.where(f1 <= 0, 0,
+                        np.minimum(60, mq.astype(np.int64))).astype(np.int64)
 
-        out = np.zeros(len(best_per_key), ALIGN_DTYPE)
-        for row, ((rid, seq_id), g) in enumerate(best_per_key.items()):
-            score, ei, ej, n_match, edit, bi, bj = (int(x) for x in arr[g, :7])
-            qs = int(arr[g, 8])
-            w_lo = int(arr[g, 9])
-            strand = int(groups.group_strand[g])
-            qlen = len(reads[rid])
-            ob, oe = qs + bi, qs + ei
-            if strand == 0:
-                read_from, read_to = ob, oe + 1
-            else:
-                read_from = qlen - (oe + 1)
-                read_to = qlen - ob
-            seq_from = w_lo + bj
-            seq_to = w_lo + ej + 1
-            ss = sorted(read_best[rid], reverse=True)
-            f1 = ss[0]
-            f2 = ss[1] if len(ss) > 1 else 0
-            mapq = 0 if f1 <= 0 else int(
-                min(60, 40.0 * max(0.0, 1.0 - f2 / f1)
-                    + 0.01 * min(f1, 2000)))
-            out[row] = (
-                rid + id_base, qlen, read_from, read_to, strand, seq_id,
-                int(seq_lens[seq_id]), seq_from, seq_to, n_match, mapq,
-                edit, score,
-                int(self.meta.assembly_idx[seq_id]),
-                int(self.meta.tax_id[seq_id]),
-                int(self.meta.species_tax_id[seq_id]),
-                int(self.meta.genus_tax_id[seq_id]),
-                0.0,
-            )
+        qlen_s = qlens_a[rid_s].astype(np.int64)
+        strand_s = groups.group_strand[g].astype(np.int64)
+        ob = arr[g, 8] + arr[g, 5]     # qs + begin_i (oriented frame)
+        oe = arr[g, 8] + arr[g, 1]     # qs + end_i
+
+        out = np.zeros(len(g), ALIGN_DTYPE)
+        out["read_id"] = rid_s + id_base
+        out["read_length"] = qlen_s
+        out["read_from"] = np.where(strand_s == 0, ob, qlen_s - (oe + 1))
+        out["read_to"] = np.where(strand_s == 0, oe + 1, qlen_s - ob)
+        out["strand"] = strand_s
+        out["sequence_id"] = seq_s
+        out["sequence_length"] = seq_lens[seq_s]
+        out["sequence_from"] = arr[g, 9] + arr[g, 6]   # w_lo + begin_j
+        out["sequence_to"] = arr[g, 9] + arr[g, 2] + 1
+        out["match"] = arr[g, 3]
+        out["mapq"] = mapq
+        out["edit_dist"] = arr[g, 4]
+        out["alignment_score"] = sc_s
+        out["assembly_id"] = self.meta.assembly_idx[seq_s]
+        out["tax_id"] = self.meta.tax_id[seq_s]
+        out["species_tax_id"] = self.meta.species_tax_id[seq_s]
+        out["genus_tax_id"] = self.meta.genus_tax_id[seq_s]
         out["alignment_score_tiebreaker"] = _stable_uniform(
             p.tiebreaker_seed, out["read_id"],
             out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
@@ -411,16 +513,37 @@ class MinimizerAligner:
 
     def _map_reads_pipelined(self, reads, read_names, slice_size,
                              emit_cigars=True):
-        from concurrent.futures import ThreadPoolExecutor
+        p = self.params
 
-        slices = [(s, reads[s: s + slice_size])
-                  for s in range(0, len(reads), slice_size)]
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            parts = list(ex.map(
-                lambda sv: self._map_reads_single(sv[1], None,
-                                                  id_base=sv[0],
-                                                  emit_cigars=emit_cigars),
-                slices))
+        def _bucket(x, lo=256):
+            b = lo
+            while b < x:
+                b *= 2
+            return b
+
+        def _band_for(qm):
+            if p.band is not None:
+                return p.band
+            return 128 if qm <= 2048 else (256 if qm <= 8192 else 512)
+
+        read_max = _bucket(max(len(r) for r in reads))
+        fused_ok = (not emit_cigars and p.fused
+                    and read_max + _band_for(read_max) < 2 ** 15
+                    and self.index.seq_data.size < 2 ** 31 - 2 ** 16)
+        if fused_ok:
+            parts = self._map_slices_async(reads, slice_size, read_max,
+                                           _bucket, _band_for)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            slices = [(s, reads[s: s + slice_size])
+                      for s in range(0, len(reads), slice_size)]
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                parts = list(ex.map(
+                    lambda sv: self._map_reads_single(
+                        sv[1], None, id_base=sv[0],
+                        emit_cigars=emit_cigars),
+                    slices))
         datas = []
         cigar_map: dict = {}
         for al in parts:
@@ -437,6 +560,33 @@ class MinimizerAligner:
                          list(self.meta.assembly_names), read_names or [],
                          cigar_map if emit_cigars else None)
 
+    def _map_slices_async(self, reads, slice_size, read_max, _bucket,
+                          _band_for):
+        """Single-thread async pipeline over slices (fused PAF mode):
+        while the device runs slice i's fused dispatch, the host collects
+        anchors and packs slice i+1 — jax dispatch is asynchronous, so no
+        worker threads (and no GIL contention) are needed."""
+        p = self.params
+        if self._seq_data_dev is None:
+            self._device_refs(np.zeros(1, np.int32), 256)
+        parts = []
+        pending = None
+        for s in range(0, len(reads), slice_size):
+            sl = reads[s: s + slice_size]
+            groups = collect_anchors(self.index, sl, max_occ=p.max_occ,
+                                     min_group_anchors=p.min_group_anchors)
+            sub = (self._fused_submit(sl, groups, read_max, _bucket,
+                                      _band_for)
+                   if groups.n_groups else None)
+            if pending is not None:
+                fut, ctx, base = pending
+                parts.append(self._fused_collect(fut, ctx, base, None))
+            pending = (sub[0], sub[1], s) if sub is not None else None
+        if pending is not None:
+            fut, ctx, base = pending
+            parts.append(self._fused_collect(fut, ctx, base, None))
+        return parts
+
     def _map_reads_single(self, reads: list[np.ndarray],
                           read_names: list[str] | None = None,
                           id_base: int = 0,
@@ -452,15 +602,6 @@ class MinimizerAligner:
             return AlignList.empty(idx.seq_names, self.meta.assembly_names,
                                    read_names or [])
 
-        # bucket the anchor dimension: scan length = smallest power of two
-        # covering the largest group (capped) — typical reads need 32-64,
-        # not the 256 worst case
-        sizes = np.diff(groups.group_offsets)
-        a_bucket = 32
-        while a_bucket < min(int(sizes.max()), p.max_anchors_per_group):
-            a_bucket *= 2
-        qg, tg, cnt, t_base, _sel = pack_groups(groups, max_anchors=a_bucket)
-
         def _bucket(x, lo=256):
             b = lo
             while b < x:
@@ -473,14 +614,23 @@ class MinimizerAligner:
             return 128 if qm <= 2048 else (256 if qm <= 8192 else 512)
 
         # PAF mode on in-range problems: the whole map step (chain → top-K →
-        # windows → extension) runs as a single device dispatch
+        # windows → extension) runs as a single device dispatch with ragged
+        # anchors and 2-bit packed reads on the wire
         read_max = _bucket(max(len(r) for r in reads))
         if (not emit_cigars and p.fused
                 and read_max + _band_for(read_max) < 2 ** 15
                 and idx.seq_data.size < 2 ** 31 - 2 ** 16):
             return self._finish_fused(reads, read_names, id_base, groups,
-                                      qg, tg, cnt, t_base, read_max,
-                                      _bucket, _band_for)
+                                      read_max, _bucket, _band_for)
+
+        # bucket the anchor dimension: scan length = smallest power of two
+        # covering the largest group (capped) — typical reads need 32-64,
+        # not the 256 worst case
+        sizes = np.diff(groups.group_offsets)
+        a_bucket = 32
+        while a_bucket < min(int(sizes.max()), p.max_anchors_per_group):
+            a_bucket *= 2
+        qg, tg, cnt, t_base, _sel = pack_groups(groups, max_anchors=a_bucket)
 
         # chain in fixed-size chunks: exactly one compiled shape, and all
         # chunk outputs are stacked on device and fetched in one transfer
@@ -590,7 +740,7 @@ class MinimizerAligner:
                 self._device_refs(np.zeros(1, np.int32), 256)
             mp = ((n_ext + 1023) // 1024) * 1024
             read_max = _bucket(max(len(r) for r in reads))
-            packed = _pack_reads(reads, read_max)
+            packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max)
             meta_a = np.zeros((6, mp), np.int32)
             meta_a[0, :n_ext] = [r["rid"] for r in recs]
             meta_a[1, :n_ext] = [r["qs"] for r in recs]
@@ -600,7 +750,8 @@ class MinimizerAligner:
             meta_a[5, :n_ext] = ext_wlens
             qlens_a = np.array([len(r) for r in reads], np.int32)
             full = np.asarray(_extend_full_dispatch(
-                packed, qlens_a, meta_a, self._seq_data_dev,
+                packed2, exc_rid, exc_pos, qlens_a, meta_a,
+                self._seq_data_dev,
                 q_max=q_max, t_max=t_max, band=band, match=p.match,
                 mismatch=p.mismatch, gap_open=p.gap_open,
                 gap_extend=p.gap_extend, batch_tile=bt,

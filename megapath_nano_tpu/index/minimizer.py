@@ -45,15 +45,7 @@ class MinimizerIndex:
     def num_minimizers(self) -> int:
         return len(self.keys)
 
-    def lookup_ranges(self, hashes: np.ndarray, n_threads: int = 2):
-        """[lo, hi) range in `keys` per query hash — LUT-bucketed native
-        binary search (hashes are avalanche-mixed, so top-bit buckets are
-        uniform; each search touches ~2 cache lines)."""
-        import ctypes
-
-        from megapath_nano_tpu.native.lib import load_native_lib
-
-        lib = load_native_lib()
+    def _ensure_lut(self):
         if self._lut is None:
             bits = max(8, min(16, int(np.log2(max(len(self.keys), 2))) - 3))
             bounds = (np.arange(2 ** bits + 1, dtype=np.uint64)
@@ -63,6 +55,58 @@ class MinimizerIndex:
             lut[-1] = len(self.keys)
             self._lut = lut
             self._lut_bits = bits
+        return self._lut, self._lut_bits
+
+    def anchor_arrays(self, flat: np.ndarray, offsets: np.ndarray, *,
+                      max_occ: int = 64, n_threads: int = 2):
+        """Fused native sketch → lookup → hit expansion → per-read sort.
+
+        flat/offsets: concatenated numeric reads. Returns
+        (q, t, seq, strand, read_offsets): flat anchor arrays ordered by
+        (read, seq, strand, t, q) — read r's anchors at
+        [read_offsets[r], read_offsets[r+1]). One native call replaces the
+        four-step host path (its lexsort was the single hottest numpy op)."""
+        import ctypes
+
+        from megapath_nano_tpu.native.lib import load_native_lib
+
+        lib = load_native_lib()
+        lut, bits = self._ensure_lut()
+        n = len(offsets) - 1
+        c = ctypes
+        i8p = c.POINTER(c.c_int8)
+        i32p = c.POINTER(c.c_int32)
+        i64p = c.POINTER(c.c_int64)
+        u64p = c.POINTER(c.c_uint64)
+        h = lib.mpn_anchors_build(
+            np.ascontiguousarray(flat, np.int8).ctypes.data_as(i8p),
+            np.ascontiguousarray(offsets, np.int64).ctypes.data_as(i64p),
+            n, self.k, self.w,
+            self.keys.ctypes.data_as(u64p), len(self.keys),
+            self.positions.ctypes.data_as(u64p),
+            lut.ctypes.data_as(i64p), bits, max_occ, n_threads)
+        total = lib.mpn_anchors_total(h)
+        q = np.zeros(total, np.int32)
+        t = np.zeros(total, np.int64)
+        seq = np.zeros(total, np.int32)
+        strand = np.zeros(total, np.int8)
+        roffs = np.zeros(n + 1, np.int64)
+        lib.mpn_anchors_export(
+            h, q.ctypes.data_as(i32p), t.ctypes.data_as(i64p),
+            seq.ctypes.data_as(i32p), strand.ctypes.data_as(i8p),
+            roffs.ctypes.data_as(i64p))
+        return q, t, seq, strand, roffs
+
+    def lookup_ranges(self, hashes: np.ndarray, n_threads: int = 2):
+        """[lo, hi) range in `keys` per query hash — LUT-bucketed native
+        binary search (hashes are avalanche-mixed, so top-bit buckets are
+        uniform; each search touches ~2 cache lines)."""
+        import ctypes
+
+        from megapath_nano_tpu.native.lib import load_native_lib
+
+        lib = load_native_lib()
+        self._ensure_lut()
         lo = np.zeros(len(hashes), np.int64)
         hi = np.zeros(len(hashes), np.int64)
         u64p = ctypes.POINTER(ctypes.c_uint64)

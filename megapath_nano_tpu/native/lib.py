@@ -144,6 +144,18 @@ def _declare(lib: ctypes.CDLL) -> None:
         i8p, i64p, c.c_int32, c.c_int, c.c_int, u64p, i64p, i8p, i64p,
         c.c_int64,
     ]
+    i32p = c.POINTER(c.c_int32)
+    lib.mpn_anchors_build.restype = c.c_void_p
+    lib.mpn_anchors_build.argtypes = [
+        i8p, i64p, c.c_int32, c.c_int, c.c_int,
+        u64p, c.c_int64, u64p, i64p, c.c_int32, c.c_int32, c.c_int32,
+    ]
+    lib.mpn_anchors_total.restype = c.c_int64
+    lib.mpn_anchors_total.argtypes = [c.c_void_p]
+    lib.mpn_anchors_export.restype = None
+    lib.mpn_anchors_export.argtypes = [
+        c.c_void_p, i32p, i64p, i32p, i8p, i64p,
+    ]
 
 
 def load_native_lib() -> ctypes.CDLL:
