@@ -206,10 +206,15 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
                           mismatch=mismatch, gap_open=gap_open,
                           gap_extend=gap_extend, batch_tile=batch_tile,
                           backend=backend)
+    # download as uint16: every value provably fits (the fused gate
+    # guarantees read_max + band < 2**15, so score <= 2*read_max < 2**16 and
+    # every in-window coordinate < 2**15) except w_lo (a within-sequence
+    # offset), which ships as two uint16 halves. Halves the device->host
+    # result transfer, in one array (one RTT).
     extra = jnp.stack([keep.astype(jnp.int32), qs.astype(jnp.int32),
-                       w_lo.astype(jnp.int32), best.astype(jnp.int32)],
-                      axis=1)
-    return jnp.concatenate([full, extra], axis=1)
+                       jnp.clip(best, 0, (1 << 16) - 1),
+                       w_lo & 0xFFFF, w_lo >> 16], axis=1)
+    return jnp.concatenate([full, extra], axis=1).astype(jnp.uint16)
 
 from megapath_nano_tpu.align.anchors import (collect_anchors, pack_groups,
                                              pack_groups_flat)
@@ -405,6 +410,7 @@ class MinimizerAligner:
         seq_lens = idx.seq_lengths
         groups, qlens_a, ng = ctx
         arr = np.asarray(fut)[:ng].astype(np.int64)
+        w_lo = arr[:, 10] | (arr[:, 11] << 16)   # int32 from uint16 halves
 
         kept = np.flatnonzero((arr[:, 7] == 1)
                               & (arr[:, 0] > p.min_alignment_score))
@@ -463,8 +469,8 @@ class MinimizerAligner:
         out["strand"] = strand_s
         out["sequence_id"] = seq_s
         out["sequence_length"] = seq_lens[seq_s]
-        out["sequence_from"] = arr[g, 9] + arr[g, 6]   # w_lo + begin_j
-        out["sequence_to"] = arr[g, 9] + arr[g, 2] + 1
+        out["sequence_from"] = w_lo[g] + arr[g, 6]   # w_lo + begin_j
+        out["sequence_to"] = w_lo[g] + arr[g, 2] + 1
         out["match"] = arr[g, 3]
         out["mapq"] = mapq
         out["edit_dist"] = arr[g, 4]
