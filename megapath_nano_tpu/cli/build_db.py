@@ -22,6 +22,7 @@ this builder consumes local FASTA + TSV metadata:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -126,8 +127,58 @@ def main(argv=None) -> int:
     pa.add_argument("--out", required=True)
     pa.set_defaults(fn=build_amr)
 
+    pp = sub.add_parser(
+        "plan", help="RefSeq download plan from assembly_summary.txt files "
+                     "(refseq_download.py selection; offline manifest)")
+    pp.add_argument("--assembly_summary", action="append", required=True,
+                    help="division=path (e.g. bacteria=/x/summary.txt)")
+    pp.add_argument("--plasmid_files", type=int, default=8)
+    pp.add_argument("--out", required=True)
+    pp.set_defaults(fn=plan_refseq)
+
+    pt = sub.add_parser(
+        "taxonomy_db", help="build an ncbi_taxonomy.db-compatible SQLite "
+                            "file from taxdump (+ assembly_summary)")
+    pt.add_argument("--taxdump", required=True)
+    pt.add_argument("--assembly_summary")
+    pt.add_argument("--out", required=True)
+    pt.set_defaults(fn=build_taxonomy)
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+def plan_refseq(args) -> int:
+    from megapath_nano_tpu.db.refseq_plan import (plan_downloads,
+                                                  plasmid_plan,
+                                                  write_manifest)
+    from megapath_nano_tpu.db.taxdump import parse_assembly_summary
+
+    specs = {}
+    for item in args.assembly_summary:
+        division, _, path = item.partition("=")
+        if not path:
+            division, path = os.path.basename(item) or "division", item
+        specs[division] = plan_downloads(parse_assembly_summary(path))
+    if args.plasmid_files:
+        specs["plasmid"] = plasmid_plan(args.plasmid_files)
+    tsv, sh = write_manifest(args.out, specs)
+    n = sum(len(v) for v in specs.values())
+    print(f"planned {n} downloads -> {tsv}, {sh}")
+    return 0
+
+
+def build_taxonomy(args) -> int:
+    from megapath_nano_tpu.db.sqlite_taxonomy import build_taxonomy_db
+    from megapath_nano_tpu.db.taxdump import (Taxonomy,
+                                              parse_assembly_summary)
+
+    taxo = Taxonomy.load(args.taxdump)
+    rows = (parse_assembly_summary(args.assembly_summary)
+            if args.assembly_summary else None)
+    path = build_taxonomy_db(args.out, taxonomy=taxo, assembly_rows=rows)
+    print(f"built {path}: {len(taxo.parent)} nodes, {len(taxo.names)} names")
+    return 0
 
 
 if __name__ == "__main__":

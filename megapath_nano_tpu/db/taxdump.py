@@ -120,5 +120,11 @@ def parse_assembly_summary(path: str) -> list[dict]:
                 "tax_id": int(row.get("taxid", 0) or 0),
                 "species_tax_id": int(row.get("species_taxid", 0) or 0),
                 "organism_name": row.get("organism_name", ""),
+                # selection/download columns (refseq_download.py:61 reads
+                # refseq_category, assembly_level; :92-96 builds the fetch
+                # URL from ftp_path)
+                "refseq_category": row.get("refseq_category", "na"),
+                "assembly_level": row.get("assembly_level", ""),
+                "ftp_path": row.get("ftp_path", ""),
             })
     return rows

@@ -56,9 +56,10 @@ def test_assembly_summary_parse(tmp_path):
     p = tmp_path / "assembly_summary.txt"
     p.write_text(SUMMARY)
     rows = parse_assembly_summary(str(p))
-    assert rows[0] == {"accession": "GCF_E", "tax_id": 83333,
-                       "species_tax_id": 562,
-                       "organism_name": "Escherichia coli"}
+    expect = {"accession": "GCF_E", "tax_id": 83333,
+              "species_tax_id": 562,
+              "organism_name": "Escherichia coli"}
+    assert {k: rows[0][k] for k in expect} == expect
     assert rows[1]["accession"] == "GCF_K"
 
 
