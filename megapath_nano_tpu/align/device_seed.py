@@ -27,7 +27,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-I32_MAX = jnp.int32(2 ** 31 - 1)
+# Plain Python int (not a jnp scalar): importing this module must not force
+# JAX backend initialization; jnp weak-types it in expressions.
+I32_MAX = 2 ** 31 - 1
 
 
 def hash32(key, kbits: int):
@@ -57,6 +59,8 @@ def sketch_device(codes, qlens, *, k: int, w: int):
     per distinct winner (the consecutive-window dedupe falls out of marking
     distinct argmin positions: a winner holds a contiguous run of windows).
     """
+    assert 1 <= k <= 15, (
+        f"device sketch requires k <= 15 (hash fits 30 bits); got k={k}")
     n, L = codes.shape
     pos_i = jnp.arange(L, dtype=jnp.int32)[None, :]
     inread = pos_i < qlens[:, None]
@@ -119,6 +123,13 @@ def build_groups_device(codes, qlens, keys32, pos_t, pos_ss, *, k: int,
     (wtot_max, a_max, g_max).
     """
     n, L = codes.shape
+    # int32 identity-key safety (trace-time; all operands are static):
+    # a maximal valid key (rid = n-1, seq = 2**seq_bits - 1, strand = 1) must
+    # stay strictly below the I32_MAX invalid sentinel, or sorting order (and
+    # the sentinel itself) silently corrupts. Index seq_ids must fit
+    # seq_bits — the caller derives seq_bits from the index's n_seqs.
+    assert n * (1 << (seq_bits + 1)) < I32_MAX, (
+        f"identity key overflow: n_reads={n} seq_bits={seq_bits}")
     win, Hflat, strand_flat = sketch_device(codes, qlens, k=k, w=w)
 
     # compact winners into wtot_max slots (slot s -> flat position index)

@@ -90,13 +90,16 @@ def _gather_queries(codes, rid, qlens, qs, wlen, strand, *, q_max):
     return jnp.where(valid, code, 4).astype(jnp.int8)
 
 
-def _pack_reads2(reads: list[np.ndarray], read_max: int):
+def _pack_reads2(reads: list[np.ndarray], read_max: int,
+                 n_rows: int | None = None):
     """Host-side 2-bit packing of a read batch: (n, read_max/4) uint8 plus
     exception lists (rid, pos) for non-ACGT codes. Positions beyond each
     read's length carry arbitrary 2-bit codes — every device consumer masks
-    by read length. Exception padding rows use rid = n (dropped by the
-    device scatter)."""
-    n = len(reads)
+    by read length. Exception padding rows use rid = n_rows (dropped by the
+    device scatter). n_rows > len(reads) pads the matrix with empty rows so
+    every slice of a batch shares one compiled shape."""
+    n = n_rows if n_rows is not None else len(reads)
+    assert n >= len(reads)
     mat = np.zeros((n, read_max), np.uint8)
     exc_r, exc_p = [], []
     for i, r in enumerate(reads):
@@ -120,29 +123,21 @@ def _pack_reads2(reads: list[np.ndarray], read_max: int):
     return packed2, exc_rid, exc_pos
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "a_bucket", "q_max", "t_max", "band", "match",
-                     "mismatch", "gap_open", "gap_extend", "batch_tile",
-                     "backend", "min_chain_score", "max_per_read",
-                     "window_pad"))
-def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
-                        gmeta, seq_data, seq_offsets,
-                        seq_lengths, *, k, a_bucket, q_max, t_max, band,
-                        match, mismatch, gap_open, gap_extend, batch_tile,
-                        backend, min_chain_score, max_per_read, window_pad):
-    """The whole map step after anchor collection as ONE device dispatch:
-    chain DP → per-read top-K gate → extension-window algebra → query/target
-    gathers → full-stats banded extension. On a remote-attached TPU every
-    dispatch costs a fixed RTT and every byte crosses a thin link, so the
-    chain results never come back to the host — only the final per-group
-    statistics do. Anchors arrive ragged (flat_q/flat_t + goffs row offsets)
-    and are padded to (n_groups, a_bucket) by an on-device gather; reads
-    arrive 2-bit packed.
+def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
+                seq_data, seq_offsets, seq_lengths, *, k, q_max, t_max, band,
+                match, mismatch, gap_open, gap_extend, batch_tile, backend,
+                min_chain_score, max_per_read, window_pad):
+    """Shared device tail of the fused map step: chain DP → per-read top-K
+    gate → extension-window algebra → query/target gathers → full-stats
+    banded extension. Used by both the host-seeded dispatch (anchors uploaded
+    ragged) and the device-seeded dispatch (anchors computed on device).
 
-    gmeta rows (int32): rid, seq_id, strand, t_base, n_anchors.
-    Returns (G, 11) int32: score, end_i, end_j, match, edit, begin_i,
-    begin_j, keep, qs, w_lo, chain_score.
+    Returns ((G, 16) uint16 row matrix, n_keep int32). Row layout
+    (FUSED_COLS): score, end_i, end_j, match, edit, begin_i, begin_j, keep,
+    qs, w_lo_lo16, w_lo_hi16, rid, seq_id, strand, 0, 0. Every value provably
+    fits uint16 (the fused gate guarantees read_max + band < 2**15, so
+    score <= 2*read_max < 2**16 and every in-window coordinate < 2**15)
+    except w_lo (a within-sequence offset), which ships as two uint16 halves.
 
     Static-shape note: the banded kernel cannot reach target columns beyond
     q_max + band/2, so clamping every window to t_max >= q_max + band loses
@@ -152,14 +147,6 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
 
     from megapath_nano_tpu.align.chain import chain_and_extents
 
-    rid, seqid, strand, t_base, cnt = (gmeta[i] for i in range(5))
-    # rebuild padded anchor matrices from the ragged upload
-    goffs = _goffs_from_cnt(cnt)
-    a_cols = jnp.arange(a_bucket, dtype=jnp.int32)[None, :]
-    srcs = jnp.clip(goffs[:-1, None] + a_cols, 0, flat_q.shape[0] - 1)
-    a_mask = a_cols < cnt[:, None]
-    qg = jnp.where(a_mask, flat_q[srcs].astype(jnp.int32), 0)
-    tg = jnp.where(a_mask, flat_t[srcs].astype(jnp.int32), 0)
     stacked = chain_and_extents(qg, tg, cnt)
     best = stacked[0]
     q_min, q_maxx, t_min, t_maxx = stacked[1:5]
@@ -198,7 +185,6 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
     tl = jnp.where(keep, jnp.minimum(w_hi - w_lo, t_max), 0).astype(jnp.int32)
     start = jnp.where(keep, seq_off + w_lo, 0).astype(jnp.int32)
 
-    codes = _unpack_reads(packed2, exc_rid, exc_pos)
     ra = _gather_queries(codes, rid, qlens, qs.astype(jnp.int32), rl,
                          strand, q_max=q_max)
     ta = _gather_windows(seq_data, start, t_max=t_max)
@@ -206,15 +192,134 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
                           mismatch=mismatch, gap_open=gap_open,
                           gap_extend=gap_extend, batch_tile=batch_tile,
                           backend=backend)
-    # download as uint16: every value provably fits (the fused gate
-    # guarantees read_max + band < 2**15, so score <= 2*read_max < 2**16 and
-    # every in-window coordinate < 2**15) except w_lo (a within-sequence
-    # offset), which ships as two uint16 halves. Halves the device->host
-    # result transfer, in one array (one RTT).
+    zero = jnp.zeros(G, jnp.int32)
     extra = jnp.stack([keep.astype(jnp.int32), qs.astype(jnp.int32),
-                       jnp.clip(best, 0, (1 << 16) - 1),
-                       w_lo & 0xFFFF, w_lo >> 16], axis=1)
-    return jnp.concatenate([full, extra], axis=1).astype(jnp.uint16)
+                       w_lo & 0xFFFF, w_lo >> 16,
+                       rid, seqid, strand.astype(jnp.int32), zero, zero],
+                      axis=1)
+    out = jnp.concatenate([full, extra], axis=1).astype(jnp.uint16)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    return out, n_keep
+
+
+# _fused_tail row layout (uint16 columns)
+FUSED_COLS = 16
+(F_SCORE, F_END_I, F_END_J, F_MATCH, F_EDIT, F_BEGIN_I, F_BEGIN_J, F_KEEP,
+ F_QS, F_WLO_LO, F_WLO_HI, F_RID, F_SEQ, F_STRAND) = range(14)
+
+
+def _pack_counts_row(counts_i32):
+    """Pack a (4,) int32 counts vector into one (1, FUSED_COLS) uint16 row
+    (lo/hi halves interleaved) — appended to the stats matrix so counts ride
+    the same device→host transfer (each separate fetch costs a fixed RTT)."""
+    import jax.numpy as jnp
+
+    row = jnp.zeros(FUSED_COLS, jnp.int32)
+    row = row.at[0:8:2].set(counts_i32 & 0xFFFF)
+    row = row.at[1:8:2].set((counts_i32 >> 16) & 0xFFFF)
+    return row.astype(jnp.uint16)[None, :]
+
+
+def _unpack_counts_row(row_u16):
+    """Host-side inverse of _pack_counts_row: (FUSED_COLS,) uint16 → (4,)."""
+    r = row_u16.astype(np.int64)
+    return r[0:8:2] | (r[1:8:2] << 16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "a_bucket", "q_max", "t_max", "band", "match",
+                     "mismatch", "gap_open", "gap_extend", "batch_tile",
+                     "backend", "min_chain_score", "max_per_read",
+                     "window_pad"))
+def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
+                        gmeta, seq_data, seq_offsets,
+                        seq_lengths, *, k, a_bucket, q_max, t_max, band,
+                        match, mismatch, gap_open, gap_extend, batch_tile,
+                        backend, min_chain_score, max_per_read, window_pad):
+    """Host-seeded fused map step: anchors arrive ragged (flat_q/flat_t +
+    per-group counts; row offsets are a device-side cumsum) and are padded to
+    (n_groups, a_bucket) by an on-device gather; reads arrive 2-bit packed.
+    Chain → top-K → windows → extension all run as ONE dispatch (fixed RTT
+    per dispatch on a remote-attached TPU).
+
+    gmeta rows (int32): rid, seq_id, strand, t_base, n_anchors.
+    Returns (G+1, FUSED_COLS) uint16: G _fused_tail rows + a counts row
+    [0, 0, 0, n_keep] (this path has no caps, so only n_keep is meaningful).
+    """
+    import jax.numpy as jnp
+
+    rid, seqid, strand, t_base, cnt = (gmeta[i] for i in range(5))
+    # rebuild padded anchor matrices from the ragged upload
+    goffs = _goffs_from_cnt(cnt)
+    a_cols = jnp.arange(a_bucket, dtype=jnp.int32)[None, :]
+    srcs = jnp.clip(goffs[:-1, None] + a_cols, 0, flat_q.shape[0] - 1)
+    a_mask = a_cols < cnt[:, None]
+    qg = jnp.where(a_mask, flat_q[srcs].astype(jnp.int32), 0)
+    tg = jnp.where(a_mask, flat_t[srcs].astype(jnp.int32), 0)
+    codes = _unpack_reads(packed2, exc_rid, exc_pos)
+    out, n_keep = _fused_tail(
+        codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
+        seq_data, seq_offsets, seq_lengths, k=k, q_max=q_max, t_max=t_max,
+        band=band, match=match, mismatch=mismatch, gap_open=gap_open,
+        gap_extend=gap_extend, batch_tile=batch_tile, backend=backend,
+        min_chain_score=min_chain_score, max_per_read=max_per_read,
+        window_pad=window_pad)
+    zero = jnp.zeros((), jnp.int32)
+    counts = jnp.stack([zero, zero, zero, n_keep])
+    return jnp.concatenate([out, _pack_counts_row(counts)], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "max_occ", "min_group_anchors", "gap_break",
+                     "cap", "seq_bits", "wtot_max", "a_max", "g_max",
+                     "out_cap", "q_max", "t_max", "band", "match", "mismatch",
+                     "gap_open", "gap_extend", "batch_tile", "backend",
+                     "min_chain_score", "max_per_read", "window_pad"))
+def _fused_map_dispatch_devseed(packed2, exc_rid, exc_pos, qlens, keys32,
+                                pos_t, pos_ss, seq_data, seq_offsets,
+                                seq_lengths, *, k, w, max_occ,
+                                min_group_anchors, gap_break, cap, seq_bits,
+                                wtot_max, a_max, g_max, out_cap, q_max,
+                                t_max, band, match, mismatch, gap_open,
+                                gap_extend, batch_tile, backend,
+                                min_chain_score, max_per_read, window_pad):
+    """Device-seeded fused map step: ONLY the 2-bit packed reads cross the
+    host↔device link. Sketching, hash lookup (device-resident sorted index
+    planes), anchor grouping, chaining, top-K, and extension all run in one
+    dispatch (align/device_seed.py does the seed stage). Kept rows are
+    compacted to the front (stable) and only out_cap rows ship back — on this
+    link the device→host fetch is the binding cost, so the download carries
+    ~2 rows/read instead of one row per candidate group.
+
+    Returns (out_cap+1, FUSED_COLS) uint16: compacted _fused_tail rows + a
+    counts row [tot_winners, tot_anchors, n_groups_kept, n_keep]. The host
+    must re-run a slice through the host-seeded path when any count exceeds
+    its cap (wtot_max / a_max / g_max / out_cap) — caps are static shapes, so
+    overflow means silently dropped candidates, never an error.
+    """
+    import jax.numpy as jnp
+
+    from megapath_nano_tpu.align.device_seed import build_groups_device
+
+    codes = _unpack_reads(packed2, exc_rid, exc_pos)
+    qg, tg, cnt, rid, seqid, strand, t_base, dcounts = build_groups_device(
+        codes, qlens, keys32, pos_t, pos_ss, k=k, w=w, max_occ=max_occ,
+        min_group_anchors=min_group_anchors, gap_break=gap_break, cap=cap,
+        seq_bits=seq_bits, wtot_max=wtot_max, a_max=a_max, g_max=g_max)
+    out, n_keep = _fused_tail(
+        codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
+        seq_data, seq_offsets, seq_lengths, k=k, q_max=q_max, t_max=t_max,
+        band=band, match=match, mismatch=mismatch, gap_open=gap_open,
+        gap_extend=gap_extend, batch_tile=batch_tile, backend=backend,
+        min_chain_score=min_chain_score, max_per_read=max_per_read,
+        window_pad=window_pad)
+    # stable keep-first compaction; G = g_max >= out_cap by construction
+    corder = jnp.argsort(out[:, F_KEEP] == 0, stable=True)
+    out_c = out[corder[:out_cap]]
+    counts = jnp.concatenate([dcounts, n_keep[None]])
+    return jnp.concatenate([out_c, _pack_counts_row(counts)], axis=0)
 
 from megapath_nano_tpu.align.anchors import (collect_anchors, pack_groups,
                                              pack_groups_flat)
@@ -247,6 +352,10 @@ class AlignParams:
     backend: str = "pallas"
     tiebreaker_seed: int = 0
     fused: bool = True   # PAF mode: single-dispatch map step
+    device_seed: bool = True   # PAF mode: seed on device (only packed reads
+    #                            cross the link); falls back per slice when a
+    #                            static cap overflows (counts row)
+    devseed_out_per_read: int = 2   # out_cap = next_pow2(this * slice_n)
 
 
 @dataclass
@@ -347,19 +456,143 @@ class MinimizerAligner:
                 jax.device_put(self.index.seq_lengths.astype(np.int32)))
         return self._seq_meta_dev
 
+    def _seq_bits(self) -> int:
+        n_seqs = len(self.index.seq_names)
+        return max(1, (max(n_seqs - 1, 1)).bit_length())
+
+    def _device_index_planes(self):
+        """Device-resident index planes for the device-seeded path:
+        keys32 (sorted int32 hash table — valid because k <= 15 masks hashes
+        to 30 bits), pos_t (within-sequence k-mer end positions, int32),
+        pos_ss (seq_id << 1 | strand, int32). Uploaded once, reused by every
+        slice (lazy)."""
+        import jax
+
+        if getattr(self, "_planes_dev", None) is None:
+            idx = self.index
+            assert idx.k <= 15
+            seq_id, pos, strand = idx.unpack(idx.positions)
+            keys32 = idx.keys.astype(np.int64)
+            assert keys32.size == 0 or keys32.max() < 2 ** 30
+            self._planes_dev = (
+                jax.device_put(keys32.astype(np.int32)),
+                jax.device_put(pos.astype(np.int32)),
+                jax.device_put(((seq_id.astype(np.int32) << 1)
+                                | strand).astype(np.int32)))
+        return self._planes_dev
+
+    def _devseed_ok(self, slice_n: int) -> bool:
+        """Gate for the device-seeded fused path (all exactness-critical:
+        hash fits 30 bits, identity key fits int32, seq ids fit the uint16
+        download, index fits int32 addressing)."""
+        p = self.params
+        idx = self.index
+        n_seqs = len(idx.seq_names)
+        return (p.device_seed and idx.k <= 15 and len(idx.keys) > 0
+                and 0 < n_seqs < 2 ** 15
+                and slice_n < 2 ** 16
+                and slice_n * (1 << (self._seq_bits() + 1)) < 2 ** 31 - 1
+                and idx.seq_data.size < 2 ** 31 - 2 ** 16)
+
+    @staticmethod
+    def _devseed_caps(slice_n: int, read_max: int):
+        """Static shape caps for the device-seeded dispatch, sized so typical
+        ONT batches never overflow: minimizer density is ~2/(w+1) ≈ 0.18 per
+        base (w=10), so n*L/4 winner slots leave ~40% headroom; anchor slots
+        assume ~1 hit/winner on non-repetitive indexes (the counts row
+        triggers the exact host-seeded fallback when wrong)."""
+        def pow2(x, lo=4096):
+            b = lo
+            while b < x:
+                b *= 2
+            return b
+
+        wtot_max = pow2(slice_n * read_max // 4)
+        a_max = wtot_max
+        g_max = pow2(4 * slice_n)
+        return wtot_max, a_max, g_max
+
     def _finish_fused(self, reads, read_names, id_base, groups, read_max,
                       _bucket, _band_for):
-        """PAF-mode tail of the map step via _fused_map_dispatch. Anchors
-        cross the link ragged (flat arrays + on-device offsets), reads 2-bit
-        packed; the row tail is fully vectorized numpy."""
+        """PAF-mode tail of the map step: one fused dispatch + one download.
+        Device-seeded when eligible (only the 2-bit packed reads cross the
+        link), host-seeded otherwise or on cap overflow."""
+        slice_n = _bucket(len(reads), lo=256)   # pow2 pad: cache executables
+        if self._devseed_ok(slice_n):
+            fut, ctx = self._fused_submit_devseed(reads, slice_n,
+                                                  read_max, _bucket,
+                                                  _band_for)
+            blk = np.asarray(fut)
+            stats, counts = blk[:-1], _unpack_counts_row(blk[-1])
+            if not self._devseed_overflow(counts, ctx):
+                return self._fused_collect_np(stats, ctx[0], id_base,
+                                              read_names)
+        if groups is None:
+            groups = collect_anchors(self.index, reads,
+                                     max_occ=self.params.max_occ,
+                                     min_group_anchors=(
+                                         self.params.min_group_anchors))
+        if groups.n_groups == 0:
+            return AlignList.empty(self.index.seq_names,
+                                   self.meta.assembly_names, read_names or [])
         fut, ctx = self._fused_submit(reads, groups, read_max, _bucket,
                                       _band_for)
-        return self._fused_collect(fut, ctx, id_base, read_names)
+        blk = np.asarray(fut)
+        return self._fused_collect_np(blk[:-1], ctx[0], id_base, read_names)
+
+    @staticmethod
+    def _devseed_overflow(counts: np.ndarray, ctx) -> bool:
+        """True when any static cap was exceeded (dropped candidates) — the
+        slice must re-run through the exact host-seeded path."""
+        _qlens, caps = ctx
+        wtot_max, a_max, g_max, out_cap = caps
+        tw, ta, ng, nk = (int(c) for c in counts)
+        return tw > wtot_max or ta > a_max or ng > g_max or nk > out_cap
+
+    def _fused_submit_devseed(self, reads, slice_n, read_max, _bucket,
+                              _band_for):
+        """Pack + async device-seeded dispatch for one slice (padded to
+        slice_n rows so every slice of a batch shares one executable).
+        Returns (future, ctx) with ctx = (qlens, caps)."""
+        p = self.params
+        idx = self.index
+        if self._seq_data_dev is None:
+            self._device_refs(np.zeros(1, np.int32), 256)
+        seq_off_dev, seq_len_dev = self._device_index_meta()
+        keys32, pos_t, pos_ss = self._device_index_planes()
+
+        packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max,
+                                                 n_rows=slice_n)
+        qlens_a = np.zeros(slice_n, np.int32)
+        qlens_a[:len(reads)] = [len(r) for r in reads]
+
+        wtot_max, a_max, g_max = self._devseed_caps(slice_n, read_max)
+        out_cap = 4096
+        while out_cap < p.devseed_out_per_read * slice_n:
+            out_cap *= 2
+        out_cap = min(out_cap, g_max)
+        q_max = read_max
+        band = _band_for(q_max)
+        t_max = _bucket(q_max + band)
+        fut = _fused_map_dispatch_devseed(
+            packed2, exc_rid, exc_pos, qlens_a, keys32, pos_t, pos_ss,
+            self._seq_data_dev, seq_off_dev, seq_len_dev,
+            k=idx.k, w=idx.w, max_occ=p.max_occ,
+            min_group_anchors=p.min_group_anchors, gap_break=5000,
+            cap=p.fused_anchor_cap, seq_bits=self._seq_bits(),
+            wtot_max=wtot_max, a_max=a_max, g_max=g_max, out_cap=out_cap,
+            q_max=q_max, t_max=t_max, band=band, match=p.match,
+            mismatch=p.mismatch, gap_open=p.gap_open,
+            gap_extend=p.gap_extend, batch_tile=128, backend=p.backend,
+            min_chain_score=p.min_chain_score,
+            max_per_read=p.max_alignments_per_read,
+            window_pad=p.window_pad)
+        return fut, (qlens_a, (wtot_max, a_max, g_max, out_cap))
 
     def _fused_submit(self, reads, groups, read_max, _bucket, _band_for):
-        """Host pack + async device dispatch for one slice. Returns
-        (future, ctx); the device computes while the host prepares the next
-        slice — the single-thread pipelining used by map_reads."""
+        """Host pack + async device dispatch for one slice (host-seeded).
+        Returns (future, ctx) with ctx = (qlens, None); the device computes
+        while the host prepares the next slice."""
         p = self.params
         idx = self.index
         if self._seq_data_dev is None:
@@ -399,29 +632,29 @@ class MinimizerAligner:
             backend=p.backend, min_chain_score=p.min_chain_score,
             max_per_read=p.max_alignments_per_read,
             window_pad=p.window_pad)
-        return fut, (groups, qlens_a, ng)
+        return fut, (qlens_a, None)
 
-    def _fused_collect(self, fut, ctx, id_base, read_names):
-        """Harvest one slice's dispatch and build align_list rows
-        (vectorized numpy)."""
+    def _fused_collect_np(self, arr_u16, qlens_a, id_base, read_names):
+        """Build align_list rows from downloaded _fused_tail stats rows
+        (vectorized numpy). arr_u16: (rows, FUSED_COLS) uint16, counts row
+        already stripped."""
         p = self.params
         idx = self.index
         n_seqs = len(idx.seq_names)
         seq_lens = idx.seq_lengths
-        groups, qlens_a, ng = ctx
-        arr = np.asarray(fut)[:ng].astype(np.int64)
-        w_lo = arr[:, 10] | (arr[:, 11] << 16)   # int32 from uint16 halves
+        arr = arr_u16.astype(np.int64)
+        w_lo = arr[:, F_WLO_LO] | (arr[:, F_WLO_HI] << 16)
 
-        kept = np.flatnonzero((arr[:, 7] == 1)
-                              & (arr[:, 0] > p.min_alignment_score))
+        kept = np.flatnonzero((arr[:, F_KEEP] == 1)
+                              & (arr[:, F_SCORE] > p.min_alignment_score))
         if len(kept) == 0:
             return AlignList.empty(idx.seq_names, self.meta.assembly_names,
                                    read_names or [])
         # best group per (read, sequence): stable sort keeps the earliest
         # group on score ties (same rule as the reference's first-wins scan)
-        rid_k = groups.group_read[kept].astype(np.int64)
-        seq_k = groups.group_seq[kept].astype(np.int64)
-        sc_k = arr[kept, 0]
+        rid_k = arr[kept, F_RID]
+        seq_k = arr[kept, F_SEQ]
+        sc_k = arr[kept, F_SCORE]
         key = rid_k * np.int64(n_seqs + 1) + seq_k
         o = np.lexsort((-sc_k, key))
         ks = key[o]
@@ -430,9 +663,9 @@ class MinimizerAligner:
         first[1:] = ks[1:] != ks[:-1]
         g = kept[o[first]]
 
-        rid_s = groups.group_read[g].astype(np.int64)
-        seq_s = groups.group_seq[g].astype(np.int64)
-        sc_s = arr[g, 0]
+        rid_s = arr[g, F_RID]
+        seq_s = arr[g, F_SEQ]
+        sc_s = arr[g, F_SCORE]
         # mapq from per-(read, sequence) best scores only — shard-stable:
         # a cross-shard merge recomputes the identical value from the rows
         o2 = np.lexsort((-sc_s, rid_s))
@@ -457,9 +690,9 @@ class MinimizerAligner:
                         np.minimum(60, mq.astype(np.int64))).astype(np.int64)
 
         qlen_s = qlens_a[rid_s].astype(np.int64)
-        strand_s = groups.group_strand[g].astype(np.int64)
-        ob = arr[g, 8] + arr[g, 5]     # qs + begin_i (oriented frame)
-        oe = arr[g, 8] + arr[g, 1]     # qs + end_i
+        strand_s = arr[g, F_STRAND]
+        ob = arr[g, F_QS] + arr[g, F_BEGIN_I]   # oriented frame
+        oe = arr[g, F_QS] + arr[g, F_END_I]
 
         out = np.zeros(len(g), ALIGN_DTYPE)
         out["read_id"] = rid_s + id_base
@@ -469,11 +702,11 @@ class MinimizerAligner:
         out["strand"] = strand_s
         out["sequence_id"] = seq_s
         out["sequence_length"] = seq_lens[seq_s]
-        out["sequence_from"] = w_lo[g] + arr[g, 6]   # w_lo + begin_j
-        out["sequence_to"] = w_lo[g] + arr[g, 2] + 1
-        out["match"] = arr[g, 3]
+        out["sequence_from"] = w_lo[g] + arr[g, F_BEGIN_J]
+        out["sequence_to"] = w_lo[g] + arr[g, F_END_J] + 1
+        out["match"] = arr[g, F_MATCH]
         out["mapq"] = mapq
-        out["edit_dist"] = arr[g, 4]
+        out["edit_dist"] = arr[g, F_EDIT]
         out["alignment_score"] = sc_s
         out["assembly_id"] = self.meta.assembly_idx[seq_s]
         out["tax_id"] = self.meta.tax_id[seq_s]
@@ -568,29 +801,70 @@ class MinimizerAligner:
 
     def _map_slices_async(self, reads, slice_size, read_max, _bucket,
                           _band_for):
-        """Single-thread async pipeline over slices (fused PAF mode):
-        while the device runs slice i's fused dispatch, the host collects
-        anchors and packs slice i+1 — jax dispatch is asynchronous, so no
-        worker threads (and no GIL contention) are needed."""
+        """Async pipeline over slices (fused PAF mode), in waves: every
+        slice's fused dispatch is submitted back to back (jax dispatch is
+        asynchronous — the host packs slice i+1 while the device runs
+        slice i), then all of a wave's result matrices are concatenated ON
+        DEVICE and fetched in ONE transfer. Each device→host fetch costs a
+        fixed ~30 ms on this link regardless of size, so per-slice fetches —
+        not DP, not upload — would bound the map path.
+
+        Device-seeded when eligible; a slice whose counts row shows a cap
+        overflow re-runs through the exact host-seeded path."""
+        import jax.numpy as jnp
+
         p = self.params
         if self._seq_data_dev is None:
             self._device_refs(np.zeros(1, np.int32), 256)
+        use_dev = self._devseed_ok(slice_size)
+        slices = [(s, reads[s: s + slice_size])
+                  for s in range(0, len(reads), slice_size)]
         parts = []
-        pending = None
-        for s in range(0, len(reads), slice_size):
-            sl = reads[s: s + slice_size]
-            groups = collect_anchors(self.index, sl, max_occ=p.max_occ,
-                                     min_group_anchors=p.min_group_anchors)
-            sub = (self._fused_submit(sl, groups, read_max, _bucket,
-                                      _band_for)
-                   if groups.n_groups else None)
-            if pending is not None:
-                fut, ctx, base = pending
-                parts.append(self._fused_collect(fut, ctx, base, None))
-            pending = (sub[0], sub[1], s) if sub is not None else None
-        if pending is not None:
-            fut, ctx, base = pending
-            parts.append(self._fused_collect(fut, ctx, base, None))
+        WAVE = 16
+        for w0 in range(0, len(slices), WAVE):
+            wave = slices[w0: w0 + WAVE]
+            subs = []
+            for s, sl in wave:
+                if use_dev:
+                    fut, ctx = self._fused_submit_devseed(
+                        sl, slice_size, read_max, _bucket, _band_for)
+                else:
+                    groups = collect_anchors(
+                        self.index, sl, max_occ=p.max_occ,
+                        min_group_anchors=p.min_group_anchors)
+                    if groups.n_groups == 0:
+                        subs.append((s, sl, None, None))
+                        continue
+                    fut, ctx = self._fused_submit(sl, groups, read_max,
+                                                  _bucket, _band_for)
+                subs.append((s, sl, fut, ctx))
+            futs = [f for _, _, f, _ in subs if f is not None]
+            if not futs:
+                continue
+            big = np.asarray(futs[0] if len(futs) == 1
+                             else jnp.concatenate(futs, axis=0))
+            off = 0
+            for s, sl, fut, ctx in subs:
+                if fut is None:
+                    continue
+                rows = fut.shape[0]
+                blk = big[off: off + rows]
+                off += rows
+                stats, counts = blk[:-1], _unpack_counts_row(blk[-1])
+                if use_dev and self._devseed_overflow(counts, ctx):
+                    groups = collect_anchors(
+                        self.index, sl, max_occ=p.max_occ,
+                        min_group_anchors=p.min_group_anchors)
+                    if groups.n_groups == 0:
+                        continue
+                    hfut, hctx = self._fused_submit(sl, groups, read_max,
+                                                    _bucket, _band_for)
+                    hblk = np.asarray(hfut)
+                    parts.append(self._fused_collect_np(hblk[:-1], hctx[0],
+                                                        s, None))
+                else:
+                    parts.append(self._fused_collect_np(stats, ctx[0], s,
+                                                        None))
         return parts
 
     def _map_reads_single(self, reads: list[np.ndarray],
@@ -601,12 +875,6 @@ class MinimizerAligner:
         idx = self.index
         n_seqs = len(idx.seq_names)
         seq_lens = idx.seq_lengths
-
-        groups = collect_anchors(idx, reads, max_occ=p.max_occ,
-                                 min_group_anchors=p.min_group_anchors)
-        if groups.n_groups == 0:
-            return AlignList.empty(idx.seq_names, self.meta.assembly_names,
-                                   read_names or [])
 
         def _bucket(x, lo=256):
             b = lo
@@ -626,8 +894,15 @@ class MinimizerAligner:
         if (not emit_cigars and p.fused
                 and read_max + _band_for(read_max) < 2 ** 15
                 and idx.seq_data.size < 2 ** 31 - 2 ** 16):
-            return self._finish_fused(reads, read_names, id_base, groups,
+            # device-seeded when eligible: no host anchor collection at all
+            return self._finish_fused(reads, read_names, id_base, None,
                                       read_max, _bucket, _band_for)
+
+        groups = collect_anchors(idx, reads, max_occ=p.max_occ,
+                                 min_group_anchors=p.min_group_anchors)
+        if groups.n_groups == 0:
+            return AlignList.empty(idx.seq_names, self.meta.assembly_names,
+                                   read_names or [])
 
         # bucket the anchor dimension: scan length = smallest power of two
         # covering the largest group (capped) — typical reads need 32-64,
