@@ -83,7 +83,37 @@ def main():
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
     }))
+    return reads_per_s
+
+
+def _regression_gate(reads_per_s):
+    """Fail (exit 1, after the JSON line) when throughput drops >30% below
+    the recorded best on this backend — the tunnel fluctuates ±25% minute to
+    minute (docs/PERF.md), so the gate sits just outside that band. The best
+    is auto-raised (committed in benchmarks/best.json) when beaten by >5%."""
+    import os
+
+    import jax
+
+    backend = jax.default_backend()
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "best.json")
+    best = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            best = json.load(f)
+    prev = best.get(backend, 0.0)
+    if reads_per_s > prev * 1.05:
+        best[backend] = round(reads_per_s, 1)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(best, f, indent=1)
+    elif reads_per_s < prev * 0.70:
+        print(f"PERF REGRESSION: {reads_per_s:.1f} reads/s < 70% of "
+              f"recorded best {prev:.1f} (benchmarks/best.json)",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
-    main()
+    _regression_gate(main())

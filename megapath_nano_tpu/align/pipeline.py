@@ -352,9 +352,14 @@ class AlignParams:
     backend: str = "pallas"
     tiebreaker_seed: int = 0
     fused: bool = True   # PAF mode: single-dispatch map step
-    device_seed: bool = True   # PAF mode: seed on device (only packed reads
-    #                            cross the link); falls back per slice when a
-    #                            static cap overflows (counts row)
+    device_seed: bool = False   # PAF mode: seed on device (only packed reads
+    #                             cross the link); falls back per slice when a
+    #                             static cap overflows (counts row).
+    #                             DEFAULT OFF: measured 2.8k reads/s vs 10.5k
+    #                             for the host-seeded path on the bench shape
+    #                             (the integrated dispatch pays g_max-padded
+    #                             tail + 512Ki-slot sorts; see docs/PERF.md) —
+    #                             opt-in until it beats host seeding.
     devseed_out_per_read: int = 2   # out_cap = next_pow2(this * slice_n)
 
 
@@ -766,8 +771,14 @@ class MinimizerAligner:
             return 128 if qm <= 2048 else (256 if qm <= 8192 else 512)
 
         read_max = _bucket(max(len(r) for r in reads))
+        # exactness gates: rid/seq_id ride uint16 result columns and the
+        # per-read rank key is rid*2**15 + score in int32, so both the slice
+        # read count and the sequence count must stay below 2**16 (the
+        # non-fused path below is exact for larger problems)
         fused_ok = (not emit_cigars and p.fused
                     and read_max + _band_for(read_max) < 2 ** 15
+                    and slice_size < 2 ** 16
+                    and len(self.index.seq_names) < 2 ** 16
                     and self.index.seq_data.size < 2 ** 31 - 2 ** 16)
         if fused_ok:
             parts = self._map_slices_async(reads, slice_size, read_max,
@@ -820,6 +831,7 @@ class MinimizerAligner:
         slices = [(s, reads[s: s + slice_size])
                   for s in range(0, len(reads), slice_size)]
         parts = []
+        overflowed = []   # devseed cap overflows: re-run host-seeded at end
         WAVE = 16
         for w0 in range(0, len(slices), WAVE):
             wave = slices[w0: w0 + WAVE]
@@ -852,19 +864,36 @@ class MinimizerAligner:
                 off += rows
                 stats, counts = blk[:-1], _unpack_counts_row(blk[-1])
                 if use_dev and self._devseed_overflow(counts, ctx):
-                    groups = collect_anchors(
-                        self.index, sl, max_occ=p.max_occ,
-                        min_group_anchors=p.min_group_anchors)
-                    if groups.n_groups == 0:
-                        continue
-                    hfut, hctx = self._fused_submit(sl, groups, read_max,
-                                                    _bucket, _band_for)
-                    hblk = np.asarray(hfut)
-                    parts.append(self._fused_collect_np(hblk[:-1], hctx[0],
-                                                        s, None))
+                    # defer: inline re-runs would stall the whole wave
+                    overflowed.append((s, sl))
                 else:
                     parts.append(self._fused_collect_np(stats, ctx[0], s,
                                                         None))
+        # trailing host-seeded waves for devseed cap overflows (exact path)
+        for w0 in range(0, len(overflowed), WAVE):
+            wave = overflowed[w0: w0 + WAVE]
+            subs = []
+            for s, sl in wave:
+                groups = collect_anchors(
+                    self.index, sl, max_occ=p.max_occ,
+                    min_group_anchors=p.min_group_anchors)
+                if groups.n_groups == 0:
+                    continue
+                fut, ctx = self._fused_submit(sl, groups, read_max,
+                                              _bucket, _band_for)
+                subs.append((s, fut, ctx))
+            if not subs:
+                continue
+            futs = [f for _, f, _ in subs]
+            big = np.asarray(futs[0] if len(futs) == 1
+                             else jnp.concatenate(futs, axis=0))
+            off = 0
+            for s, fut, ctx in subs:
+                rows = fut.shape[0]
+                blk = big[off: off + rows]
+                off += rows
+                parts.append(self._fused_collect_np(blk[:-1], ctx[0], s,
+                                                    None))
         return parts
 
     def _map_reads_single(self, reads: list[np.ndarray],
@@ -893,6 +922,7 @@ class MinimizerAligner:
         read_max = _bucket(max(len(r) for r in reads))
         if (not emit_cigars and p.fused
                 and read_max + _band_for(read_max) < 2 ** 15
+                and len(reads) < 2 ** 16 and n_seqs < 2 ** 16
                 and idx.seq_data.size < 2 ** 31 - 2 ** 16):
             # device-seeded when eligible: no host anchor collection at all
             return self._finish_fused(reads, read_names, id_base, None,

@@ -1,0 +1,118 @@
+"""Device-seeded fused dispatch: exactness vs the host-seeded path.
+
+The devseed path (align/device_seed.py) moves sketching + hash lookup +
+anchor grouping on-device so only 2-bit packed reads cross the link. It is
+opt-in (AlignParams.device_seed, default False — see docs/PERF.md) but must
+stay output-identical to the host-seeded fused path, including when a static
+cap overflows and the slice falls back to host seeding.
+"""
+
+import numpy as np
+import pytest
+
+from megapath_nano_tpu.align.pipeline import AlignParams, MinimizerAligner
+from megapath_nano_tpu.index.minimizer import MinimizerIndex
+from megapath_nano_tpu.utils.dna import mutate, random_sequence, revcomp
+
+COLS = ("read_id", "read_length", "read_from", "read_to", "strand",
+        "sequence_id", "sequence_from", "sequence_to", "match", "edit_dist",
+        "alignment_score", "mapq", "assembly_id", "tax_id")
+
+
+def _world(seed=5, n_genomes=4, glen=25000, n_reads=96, read_len=700):
+    rng = np.random.default_rng(seed)
+    genomes = [random_sequence(rng, glen) for _ in range(n_genomes)]
+    index = MinimizerIndex.build(genomes,
+                                 [f"g{i}" for i in range(n_genomes)])
+    reads = []
+    for _ in range(n_reads):
+        g = int(rng.integers(0, n_genomes))
+        s = int(rng.integers(0, glen - read_len))
+        read = mutate(rng, genomes[g][s: s + read_len], sub_rate=0.04,
+                      ins_rate=0.02, del_rate=0.02)
+        if rng.integers(0, 2):
+            read = revcomp(read)
+        reads.append(read)
+    return index, reads
+
+
+def _map(index, reads, device_seed, slice_size=None, **kw):
+    params = AlignParams(backend="jnp", device_seed=device_seed, **kw)
+    aligner = MinimizerAligner(index, params=params)
+    return aligner.map_reads(reads, emit_cigars=False, slice_size=slice_size)
+
+
+def _assert_equal(a, b):
+    assert len(a) == len(b)
+    for col in COLS:
+        np.testing.assert_array_equal(a.data[col], b.data[col], err_msg=col)
+
+
+def test_devseed_matches_host_single_slice():
+    index, reads = _world()
+    host = _map(index, reads, device_seed=False)
+    dev = _map(index, reads, device_seed=True)
+    assert len(host) > 0
+    _assert_equal(dev, host)
+
+
+def test_devseed_matches_host_pipelined():
+    """Sliced async pipeline (the production profiler path)."""
+    index, reads = _world(seed=9, n_reads=160)
+    host = _map(index, reads, device_seed=False, slice_size=64)
+    dev = _map(index, reads, device_seed=True, slice_size=64)
+    assert len(host) > 0
+    _assert_equal(dev, host)
+
+
+def test_devseed_overflow_falls_back_exactly(monkeypatch):
+    """Tiny static caps force the counts-row overflow on every slice; the
+    fallback (host-seeded re-run, async trailing waves in the pipelined
+    path) must still produce output identical to the host path."""
+    tiny = staticmethod(lambda slice_n, read_max: (64, 64, 64))
+    monkeypatch.setattr(MinimizerAligner, "_devseed_caps", tiny)
+
+    index, reads = _world(seed=13, n_reads=96)
+    host = _map(index, reads, device_seed=False, slice_size=32)
+    dev = _map(index, reads, device_seed=True, slice_size=32)
+    assert len(host) > 0
+    _assert_equal(dev, host)
+
+    # single-slice fallback too
+    host1 = _map(index, reads[:32], device_seed=False)
+    dev1 = _map(index, reads[:32], device_seed=True)
+    _assert_equal(dev1, host1)
+
+
+def test_devseed_overflow_detection():
+    caps = (100, 200, 300, 400)
+    ctx = (None, caps)
+    ok = np.array([100, 200, 300, 400])
+    assert not MinimizerAligner._devseed_overflow(ok, ctx)
+    for i in range(4):
+        bad = ok.copy()
+        bad[i] += 1
+        assert MinimizerAligner._devseed_overflow(bad, ctx)
+
+
+def test_devseed_cap_sizing():
+    """Caps are pow2 (stable compiled shapes) and track the documented
+    density model: winner slots >= slice_n*read_max/4, groups >= 4*slice_n."""
+    for slice_n, read_max in [(256, 1024), (2048, 1024), (2048, 4096)]:
+        wtot, a_max, g_max = MinimizerAligner._devseed_caps(slice_n, read_max)
+        for v in (wtot, a_max, g_max):
+            assert v & (v - 1) == 0, "caps must be powers of two"
+        assert wtot >= slice_n * read_max // 4
+        assert a_max >= wtot // 2
+        assert g_max >= 4 * slice_n
+
+
+def test_devseed_gate_requirements():
+    index, _ = _world(n_genomes=2, glen=8000, n_reads=1)
+    on = MinimizerAligner(index, params=AlignParams(backend="jnp",
+                                                    device_seed=True))
+    off = MinimizerAligner(index, params=AlignParams(backend="jnp",
+                                                     device_seed=False))
+    assert on._devseed_ok(1024)
+    assert not off._devseed_ok(1024)       # opt-in
+    assert not on._devseed_ok(2 ** 16)     # rid must fit uint16
