@@ -344,6 +344,14 @@ class AlignParams:
     min_group_anchors: int = 3
     min_chain_score: int = 40
     max_alignments_per_read: int = 50   # reference uses -N 50
+    secondary_ratio: float = 1.0   # minimap2 -p: min secondary-to-primary
+    #                                score ratio. The reference's placement
+    #                                stage runs -N 50 -p 1 (ties only,
+    #                                megapath_nano.py:1270); its genome-vs-
+    #                                genome stages run -p 0 (keep all)
+    mask_level: float = 0.5        # minimap2 --mask-level: query-overlap
+    #                                fraction above which a lower-scoring
+    #                                alignment is secondary, not primary
     min_alignment_score: int = 0
     window_pad: int = 64
     max_anchors_per_group: int = 256
@@ -421,6 +429,122 @@ def _cigar_stats(cigar, read, ref, read_start, ref_start):
             nm += length
             ti += length
     return m, nm
+
+
+def select_alignments(rid, score, q_from, q_to, seq, strand, t_from, t_to,
+                      *, secondary_ratio: float = 1.0,
+                      mask_level: float = 0.5, max_secondary: int = 50):
+    """minimap2-style multi-locus selection (mm_set_parent / mm_select_sub
+    semantics applied to extension scores). The reference's placement stage
+    keeps multiple loci per (read, sequence) — chimeric ONT reads and repeats
+    each get their own record (minimap2 -N 50 -p 1, megapath_nano.py:1270,
+    lib/aligner.py:206) — and every downstream depth/spike/noise computation
+    consumes them.
+
+    Per read, candidates are ranked by score (stable: input order breaks
+    ties). A candidate is PRIMARY when its query interval overlaps every
+    higher-ranked primary by < mask_level of the shorter interval; otherwise
+    it is SECONDARY to the best-overlapping primary and is kept only when
+    score >= secondary_ratio * parent_score, up to max_secondary secondaries
+    per read (-N). Same-locus duplicates (same seq + strand, query AND target
+    intervals both overlapping >= 50% of the shorter) are dropped first.
+
+    mapq: primaries get the minimap2-flavored best-vs-best-secondary ratio
+    (f2 = the best score among the candidates it masks, kept or not);
+    secondaries get mapq 0, as in minimap2 output.
+
+    Inputs are equal-length 1-D arrays over candidate alignments. Returns
+    (keep_idx, mapq, is_secondary): indices into the inputs (grouped by read,
+    primaries before their ranking order), with per-kept-row mapq/flag.
+    """
+    n = len(rid)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z.astype(bool)
+    order = np.lexsort((np.arange(n), -np.asarray(score),
+                        np.asarray(rid)))
+    rid_o = np.asarray(rid)[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], rid_o[1:] != rid_o[:-1]]))
+    bounds = np.append(starts, n)
+
+    q_from = np.asarray(q_from)
+    q_to = np.asarray(q_to)
+    t_from = np.asarray(t_from)
+    t_to = np.asarray(t_to)
+    seq = np.asarray(seq)
+    strand = np.asarray(strand)
+    score = np.asarray(score)
+
+    keep_idx: list[int] = []
+    mapqs: list[int] = []
+    secondary: list[bool] = []
+
+    def _mapq(f1, f2):
+        if f1 <= 0:
+            return 0
+        return int(min(60, 40.0 * max(0.0, 1.0 - f2 / f1)
+                       + 0.01 * min(f1, 2000)))
+
+    for b in range(len(starts)):
+        cand = order[bounds[b]: bounds[b + 1]]
+        if len(cand) == 1:
+            i = int(cand[0])
+            keep_idx.append(i)
+            mapqs.append(_mapq(int(score[i]), 0))
+            secondary.append(False)
+            continue
+        primaries: list[int] = []       # indices into cand-order
+        prim_f2: list[int] = []         # best masked/secondary score per prim
+        kept: list[tuple[int, bool, int]] = []  # (idx, is_sec, parent_slot)
+        n_sec = 0
+        seen: list[int] = []            # all kept indices, for dup check
+        for i in cand:
+            i = int(i)
+            ql = q_to[i] - q_from[i]
+            tl = t_to[i] - t_from[i]
+            # same-locus duplicate?
+            dup = False
+            for j in seen:
+                if seq[j] != seq[i] or strand[j] != strand[i]:
+                    continue
+                qo = min(q_to[i], q_to[j]) - max(q_from[i], q_from[j])
+                to = min(t_to[i], t_to[j]) - max(t_from[i], t_from[j])
+                if (qo >= 0.5 * min(ql, q_to[j] - q_from[j])
+                        and to >= 0.5 * min(tl, t_to[j] - t_from[j])):
+                    dup = True
+                    break
+            if dup:
+                continue
+            # primary mask test against selected primaries
+            parent = -1
+            best_ov = 0.0
+            for slot, j in enumerate(primaries):
+                qo = min(q_to[i], q_to[j]) - max(q_from[i], q_from[j])
+                frac = qo / max(1, min(ql, q_to[j] - q_from[j]))
+                if frac > best_ov:
+                    best_ov = frac
+                    parent = slot
+            if best_ov < mask_level:
+                primaries.append(i)
+                prim_f2.append(0)
+                kept.append((i, False, len(primaries) - 1))
+                seen.append(i)
+            else:
+                ps = int(score[primaries[parent]])
+                prim_f2[parent] = max(prim_f2[parent], int(score[i]))
+                if (score[i] >= secondary_ratio * ps
+                        and n_sec < max_secondary):
+                    kept.append((i, True, parent))
+                    seen.append(i)
+                    n_sec += 1
+        for i, is_sec, slot in kept:
+            keep_idx.append(i)
+            mapqs.append(0 if is_sec
+                         else _mapq(int(score[i]), prim_f2[slot]))
+            secondary.append(is_sec)
+    return (np.array(keep_idx, np.int64), np.array(mapqs, np.int64),
+            np.array(secondary, bool))
 
 
 class MinimizerAligner:
@@ -655,55 +779,38 @@ class MinimizerAligner:
         if len(kept) == 0:
             return AlignList.empty(idx.seq_names, self.meta.assembly_names,
                                    read_names or [])
-        # best group per (read, sequence): stable sort keeps the earliest
-        # group on score ties (same rule as the reference's first-wins scan)
+        # candidate geometry in original read coordinates (needed by the
+        # multi-locus selection's query-overlap masking)
         rid_k = arr[kept, F_RID]
-        seq_k = arr[kept, F_SEQ]
-        sc_k = arr[kept, F_SCORE]
-        key = rid_k * np.int64(n_seqs + 1) + seq_k
-        o = np.lexsort((-sc_k, key))
-        ks = key[o]
-        first = np.empty(len(o), bool)
-        first[0] = True
-        first[1:] = ks[1:] != ks[:-1]
-        g = kept[o[first]]
+        qlen_k = qlens_a[rid_k].astype(np.int64)
+        strand_k = arr[kept, F_STRAND]
+        ob_k = arr[kept, F_QS] + arr[kept, F_BEGIN_I]   # oriented frame
+        oe_k = arr[kept, F_QS] + arr[kept, F_END_I]
+        rf_k = np.where(strand_k == 0, ob_k, qlen_k - (oe_k + 1))
+        rt_k = np.where(strand_k == 0, oe_k + 1, qlen_k - ob_k)
+        tf_k = w_lo[kept] + arr[kept, F_BEGIN_J]
+        tt_k = w_lo[kept] + arr[kept, F_END_J] + 1
 
-        rid_s = arr[g, F_RID]
+        # minimap2-style multi-locus selection (-N/-p semantics): keeps
+        # multiple loci per (read, sequence) — chimeric reads and repeats
+        sel, mapq, _is_sec = select_alignments(
+            rid_k, arr[kept, F_SCORE], rf_k, rt_k, arr[kept, F_SEQ],
+            strand_k, tf_k, tt_k, secondary_ratio=p.secondary_ratio,
+            mask_level=p.mask_level,
+            max_secondary=p.max_alignments_per_read)
+        g = kept[sel]
+
+        rid_s = rid_k[sel]
         seq_s = arr[g, F_SEQ]
         sc_s = arr[g, F_SCORE]
-        # mapq from per-(read, sequence) best scores only — shard-stable:
-        # a cross-shard merge recomputes the identical value from the rows
-        o2 = np.lexsort((-sc_s, rid_s))
-        r2 = rid_s[o2]
-        firstr = np.empty(len(o2), bool)
-        firstr[0] = True
-        firstr[1:] = r2[1:] != r2[:-1]
-        runid = np.cumsum(firstr) - 1
-        starts = np.flatnonzero(firstr)
-        runlen = np.diff(np.append(starts, len(o2)))
-        s_sorted = sc_s[o2]
-        f1_run = s_sorted[starts]
-        f2_run = np.where(runlen > 1,
-                          s_sorted[np.minimum(starts + 1, len(o2) - 1)], 0)
-        f1 = np.empty(len(o2), np.int64)
-        f2 = np.empty(len(o2), np.int64)
-        f1[o2] = f1_run[runid]
-        f2[o2] = f2_run[runid]
-        mq = 40.0 * np.maximum(0.0, 1.0 - f2 / np.maximum(f1, 1)) \
-            + 0.01 * np.minimum(f1, 2000)
-        mapq = np.where(f1 <= 0, 0,
-                        np.minimum(60, mq.astype(np.int64))).astype(np.int64)
-
-        qlen_s = qlens_a[rid_s].astype(np.int64)
-        strand_s = arr[g, F_STRAND]
-        ob = arr[g, F_QS] + arr[g, F_BEGIN_I]   # oriented frame
-        oe = arr[g, F_QS] + arr[g, F_END_I]
+        qlen_s = qlen_k[sel]
+        strand_s = strand_k[sel]
 
         out = np.zeros(len(g), ALIGN_DTYPE)
         out["read_id"] = rid_s + id_base
         out["read_length"] = qlen_s
-        out["read_from"] = np.where(strand_s == 0, ob, qlen_s - (oe + 1))
-        out["read_to"] = np.where(strand_s == 0, oe + 1, qlen_s - ob)
+        out["read_from"] = rf_k[sel]
+        out["read_to"] = rt_k[sel]
         out["strand"] = strand_s
         out["sequence_id"] = seq_s
         out["sequence_length"] = seq_lens[seq_s]
@@ -721,7 +828,8 @@ class MinimizerAligner:
             p.tiebreaker_seed, out["read_id"],
             out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
             + out["sequence_from"])
-        order = np.lexsort((out["sequence_id"], out["read_id"]))
+        order = np.lexsort((out["sequence_from"], out["sequence_id"],
+                            out["read_id"]))
         return AlignList(out[order], list(idx.seq_names),
                          list(self.meta.assembly_names), read_names or [],
                          None)
@@ -805,7 +913,8 @@ class MinimizerAligner:
             return AlignList.empty(self.index.seq_names,
                                    self.meta.assembly_names, read_names or [])
         data = np.concatenate(datas)
-        order = np.lexsort((data["sequence_id"], data["read_id"]))
+        order = np.lexsort((data["sequence_from"], data["sequence_id"],
+                            data["read_id"]))
         return AlignList(data[order], list(self.index.seq_names),
                          list(self.meta.assembly_names), read_names or [],
                          cigar_map if emit_cigars else None)
@@ -1008,7 +1117,13 @@ class MinimizerAligner:
             w_hi = min(t_hi + (qe - q_hi), seq_len)
             recs.append(dict(rid=rid, seq_id=seq_id, strand=strand,
                              qlen=qlen, w_lo=w_lo, w_hi=w_hi, qs=qs, qe=qe,
-                             chain_score=int(best[g])))
+                             chain_score=int(best[g]),
+                             # un-padded chain extents (oriented q frame /
+                             # absolute t) — the coordinates minimap2 uses
+                             # for primary/secondary marking (mm_set_parent
+                             # runs on chains, before base-level extension)
+                             cq_lo=max(q_lo, 0), cq_hi=min(q_hi, qlen),
+                             ct_lo=max(t_lo, 0), ct_hi=min(t_hi, seq_len)))
             ext_qlens.append(qe - qs)
             ext_starts.append(seq_off + w_lo)
             ext_wlens.append(w_hi - w_lo)
@@ -1101,31 +1216,38 @@ class MinimizerAligner:
                                 if len(score_parts) > 1 else score_parts[0]
                                 ).astype(np.int64)
 
-        # keep per-(read, seq, strand) winners; exact emit via native SSW
-        best_per_key: dict[tuple, int] = {}
-        for i, r in enumerate(recs):
-            key = (r["rid"], r["seq_id"])
-            if scores[i] > p.min_alignment_score and (
-                    key not in best_per_key
-                    or scores[i] > scores[best_per_key[key]]):
-                best_per_key[key] = i
+        # minimap2-style multi-locus selection (-N/-p semantics) on the
+        # un-padded chain extents + device extension scores; exact emit
+        # (begin/end/CIGAR) then runs only on the kept set
+        ok = np.flatnonzero(scores > p.min_alignment_score)
+        if len(ok) == 0:
+            return AlignList.empty(idx.seq_names, self.meta.assembly_names,
+                                   read_names or [])
+        rid_c = np.array([recs[i]["rid"] for i in ok], np.int64)
+        seq_c = np.array([recs[i]["seq_id"] for i in ok], np.int64)
+        strand_c = np.array([recs[i]["strand"] for i in ok], np.int64)
+        qlen_c = np.array([recs[i]["qlen"] for i in ok], np.int64)
+        cq_lo = np.array([recs[i]["cq_lo"] for i in ok], np.int64)
+        cq_hi = np.array([recs[i]["cq_hi"] for i in ok], np.int64)
+        qf_c = np.where(strand_c == 0, cq_lo, qlen_c - cq_hi)
+        qt_c = np.where(strand_c == 0, cq_hi, qlen_c - cq_lo)
+        tf_c = np.array([recs[i]["ct_lo"] for i in ok], np.int64)
+        tt_c = np.array([recs[i]["ct_hi"] for i in ok], np.int64)
+        sel, mapq_sel, _is_sec = select_alignments(
+            rid_c, scores[ok], qf_c, qt_c, seq_c, strand_c, tf_c, tt_c,
+            secondary_ratio=p.secondary_ratio, mask_level=p.mask_level,
+            max_secondary=p.max_alignments_per_read)
+        emit_idx = [int(i) for i in ok[sel]]
 
-        # mapq from per-(read, sequence) best scores (minimap2-flavored
-        # best-vs-secondary-location ratio; shard-stable, see _finish_fused)
-        read_best: dict[int, list] = {}
-        for (rid, _seq), i in best_per_key.items():
-            read_best.setdefault(rid, []).append(int(scores[i]))
-
-        emit_keys = list(best_per_key.items())
         if full_ok:
             # PAF mode: every field comes from the device kernel's carried
             # path statistics; no host DP, no CIGARs
             stats = [(int(full[i, 5]), int(full[i, 1]), int(full[i, 6]),
                       int(full[i, 2]), int(full[i, 3]), int(full[i, 4]),
-                      int(full[i, 0])) for _, i in emit_keys]
+                      int(full[i, 0])) for i in emit_idx]
         else:
             # exact emit (begin/end/CIGAR/match/NM) via the native threaded
-            # banded aligner — O(band*len) per winner
+            # banded aligner — O(band*len) per kept alignment
             from megapath_nano_tpu.native.banded import banded_align_batch
 
             # narrow-band first (2x cheaper); any pair whose score misses the
@@ -1133,16 +1255,16 @@ class MinimizerAligner:
             # guaranteed by the cross-check, speed by the common case
             emit_band = max(64, band // 2)
             emit_alns = banded_align_batch(
-                [ext_reads[i] for _, i in emit_keys],
-                [ext_refs[i] for _, i in emit_keys],
+                [ext_reads[i] for i in emit_idx],
+                [ext_refs[i] for i in emit_idx],
                 band=emit_band, match=p.match, mismatch=p.mismatch,
                 gap_open=p.gap_open, gap_extend=p.gap_extend)
-            redo = [r for r, (_, i) in enumerate(emit_keys)
+            redo = [r for r, i in enumerate(emit_idx)
                     if emit_alns[r].score != scores[i]]
             if redo:
                 fixed = banded_align_batch(
-                    [ext_reads[emit_keys[r][1]] for r in redo],
-                    [ext_refs[emit_keys[r][1]] for r in redo],
+                    [ext_reads[emit_idx[r]] for r in redo],
+                    [ext_refs[emit_idx[r]] for r in redo],
                     band=band, match=p.match, mismatch=p.mismatch,
                     gap_open=p.gap_open, gap_extend=p.gap_extend)
                 for r, a in zip(redo, fixed):
@@ -1151,12 +1273,14 @@ class MinimizerAligner:
                       a.n_match, a.edit_dist, int(a.score))
                      for a in emit_alns]
 
-        out = np.zeros(len(emit_keys), ALIGN_DTYPE)
+        out = np.zeros(len(emit_idx), ALIGN_DTYPE)
         cigar_map: dict | None = {} if emit_cigars else None
-        for row, (((rid, seq_id), i), st) in enumerate(
-                zip(emit_keys, stats)):
+        best_for_pair: dict[tuple, int] = {}  # (rid, sid) -> best score seen
+        for row, (i, st) in enumerate(zip(emit_idx, stats)):
             rb, re_, tb, te, n_match, edit_dist, score = st
             r = recs[i]
+            rid = r["rid"]
+            seq_id = r["seq_id"]
             qlen = r["qlen"]
             ob = r["qs"] + rb                 # oriented-frame begin/end
             oe = r["qs"] + re_
@@ -1167,16 +1291,10 @@ class MinimizerAligner:
                 read_to = qlen - ob
             seq_from = r["w_lo"] + tb
             seq_to = r["w_lo"] + te + 1
-            ss = sorted(read_best[rid], reverse=True)
-            f1 = ss[0]
-            f2 = ss[1] if len(ss) > 1 else 0
-            mapq = 0 if f1 <= 0 else int(
-                min(60, 40.0 * max(0.0, 1.0 - f2 / f1)
-                    + 0.01 * min(f1, 2000)))
             out[row] = (
                 rid + id_base, qlen, read_from, read_to, r["strand"], seq_id,
-                int(seq_lens[seq_id]), seq_from, seq_to, n_match, mapq,
-                edit_dist, score,
+                int(seq_lens[seq_id]), seq_from, seq_to, n_match,
+                int(mapq_sel[row]), edit_dist, score,
                 int(self.meta.assembly_idx[seq_id]),
                 int(self.meta.tax_id[seq_id]),
                 int(self.meta.species_tax_id[seq_id]),
@@ -1184,13 +1302,21 @@ class MinimizerAligner:
                 0.0,
             )
             if cigar_map is not None:
-                cigar_map[(rid + id_base, seq_id)] = (
-                    emit_alns[row].cigar, r["qs"] + rb, r["strand"])
+                entry = (emit_alns[row].cigar, r["qs"] + rb, r["strand"])
+                # every locus is addressable by (rid, sid, seq_from); the
+                # best locus per (rid, sid) also owns the legacy 2-key used
+                # by per-(read, seq) consumers (variant/, amr/consensus)
+                cigar_map[(rid + id_base, seq_id, seq_from)] = entry
+                pk = (rid + id_base, seq_id)
+                if score > best_for_pair.get(pk, -1):
+                    best_for_pair[pk] = score
+                    cigar_map[pk] = entry
         out["alignment_score_tiebreaker"] = _stable_uniform(
             p.tiebreaker_seed, out["read_id"],
             out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
             + out["sequence_from"])
-        order = np.lexsort((out["sequence_id"], out["read_id"]))
+        order = np.lexsort((out["sequence_from"], out["sequence_id"],
+                            out["read_id"]))
         return AlignList(out[order], list(idx.seq_names),
                          list(self.meta.assembly_names), read_names or [],
                          cigar_map)

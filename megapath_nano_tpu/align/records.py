@@ -43,7 +43,10 @@ class AlignList:
     cigar_map (optional): {(read_id, sequence_id): (cigar, oriented_read_from,
     strand)} for rows emitted with base-exact CIGARs — the oriented_read_from
     is in the strand-oriented query frame (revcomp'd read for strand 1), as
-    needed to replay the alignment for pileup/consensus."""
+    needed to replay the alignment for pileup/consensus. With multi-locus
+    mapping (minimap2 -N/-p semantics) each locus is additionally keyed
+    (read_id, sequence_id, sequence_from); the plain 2-key always points at
+    the best-scoring locus for that (read, sequence) pair."""
 
     data: np.ndarray                      # structured array, ALIGN_DTYPE
     sequence_names: list[str] = field(default_factory=list)

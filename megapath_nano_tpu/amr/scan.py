@@ -41,8 +41,10 @@ def scan_contigs(
     if not contigs:
         return []
     index = db.index()
+    # BLAST-like scan keeps every locus above the cutoffs, not just
+    # primaries — equivalent of minimap2 -p 0
     params = AlignParams(backend=backend, min_chain_score=20,
-                         min_group_anchors=2, band=256)
+                         min_group_anchors=2, band=256, secondary_ratio=0.0)
     aligner = MinimizerAligner(index, params=params)
     result = aligner.map_reads([c.seq for c in contigs])
 

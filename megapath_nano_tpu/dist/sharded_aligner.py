@@ -96,44 +96,34 @@ class ShardedAligner:
             data["sequence_id"] = remap[data["sequence_id"]]
             parts.append(data)
             if emit_cigars and part.cigar_map:
-                cigar_map.update({(r, int(remap[s])): v
-                                  for (r, s), v in part.cigar_map.items()})
+                cigar_map.update({(k[0], int(remap[k[1]]), *k[2:]): v
+                                  for k, v in part.cigar_map.items()})
         if not parts:
             return AlignList.empty(self.sequence_names, self.assembly_names,
                                    read_names or [])
         data = np.concatenate(parts)
 
-        # global per-read top-N gate (the union of per-shard top-Ns is a
-        # superset of the global top-N)
-        order = np.lexsort((-data["alignment_score"], data["read_id"]))
-        data = data[order]
-        rid = data["read_id"]
-        newrun = np.append(True, rid[1:] != rid[:-1])
-        run_start = np.maximum.accumulate(
-            np.where(newrun, np.arange(len(rid)), 0))
-        rank = np.arange(len(rid)) - run_start
-        data = data[rank < self.params.max_alignments_per_read]
-
-        # recompute mapq from the merged per-(read, seq) best scores —
-        # identical formula to MinimizerAligner (best vs second-best ratio)
-        rid = data["read_id"]
-        by_read: dict[int, list] = {}
-        for r, s in zip(rid, data["alignment_score"]):
-            by_read.setdefault(int(r), []).append(int(s))
-        mapq = np.zeros(len(data), np.int64)
-        for i, r in enumerate(rid):
-            ss = sorted(by_read[int(r)], reverse=True)
-            f1 = ss[0]
-            f2 = ss[1] if len(ss) > 1 else 0
-            mapq[i] = 0 if f1 <= 0 else int(
-                min(60, 40.0 * max(0.0, 1.0 - f2 / f1)
-                    + 0.01 * min(f1, 2000)))
+        # re-run the minimap2-style -N/-p selection over the cross-shard
+        # union: each shard marked primaries/secondaries against its local
+        # candidates only, so the merged set must be re-ranked globally —
+        # same rule as minimap2 merging its per-index-batch hits
+        # (reference lib/aligner.py:211-217 FIFO chunk merge)
+        from megapath_nano_tpu.align.pipeline import select_alignments
+        sel, mapq, _is_sec = select_alignments(
+            data["read_id"], data["alignment_score"],
+            data["read_from"], data["read_to"], data["sequence_id"],
+            data["strand"], data["sequence_from"], data["sequence_to"],
+            secondary_ratio=self.params.secondary_ratio,
+            mask_level=self.params.mask_level,
+            max_secondary=self.params.max_alignments_per_read)
+        data = data[sel]
         data["mapq"] = mapq
         n_seqs = len(self.sequence_names)
         data["alignment_score_tiebreaker"] = _stable_uniform(
             self.params.tiebreaker_seed, data["read_id"],
             data["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
             + data["sequence_from"])
-        order = np.lexsort((data["sequence_id"], data["read_id"]))
+        order = np.lexsort((data["sequence_from"], data["sequence_id"],
+                            data["read_id"]))
         return AlignList(data[order], self.sequence_names,
                          self.assembly_names, read_names or [], cigar_map)

@@ -30,7 +30,8 @@ def write_sam(
         for row in align_list.data:
             rid = int(row["read_id"])
             sid = int(row["sequence_id"])
-            entry = cmap.get((rid, sid))
+            entry = cmap.get((rid, sid, int(row["sequence_from"])),
+                             cmap.get((rid, sid)))
             read = reads[rid]
             strand = int(row["strand"])
             flag = 16 if strand else 0

@@ -62,8 +62,10 @@ def align_genome_to_index(
 ) -> AlignList:
     """Chunked whole-genome alignment; blocks below min_identity dropped."""
     chunks = chunk_genome(source, chunk=chunk)
+    # genome-vs-genome stages keep all secondary loci (minimap2 -p 0,
+    # reference megapath_nano.py:1372-1387 / step_*_repetitive_region)
     params = AlignParams(backend=backend, min_chain_score=40,
-                         max_alignments_per_read=20)
+                         max_alignments_per_read=20, secondary_ratio=0.0)
     aligner = MinimizerAligner(target_index, params=params)
     res = aligner.map_reads(chunks)
     if len(res) and min_identity > 0:

@@ -35,6 +35,8 @@ from megapath_nano_tpu.report.writers import (write_microbe_stat,
                                               write_preport,
                                               write_read_stat)
 from megapath_nano_tpu.taxon.abundance import align_stat_by_assembly
+from megapath_nano_tpu.taxon.assembly_selection import (
+    run_assembly_selection, select_assemblies_per_species)
 from megapath_nano_tpu.taxon.best_align import best_align_list
 from megapath_nano_tpu.taxon.filters import spike_filter_bed
 from megapath_nano_tpu.taxon.intervals import make_bed, merge_bed, overlap_bp
@@ -56,6 +58,9 @@ class ProfileOptions:
     human_filter_score_percent: float = 1.0  # AS >= pct * read_len (:5073)
 
     reassignment: bool = False              # --reassignment (off, :5000)
+    assembly_selection: bool = False        # steps 4-6 (off, :4987)
+    assembly_id_min_average_depth: float = 0.5   # (:5081)
+    good_align_threshold: float = 0.8       # good_alignment_threshold (:5080)
     spike_filter: bool = False              # --spike_filter (off, :4989)
     spike_stdev: float = 6.0                # mean + k*sqrt(mean) (:5100)
     human_repetitive_filter: bool = False   # step 10 (off, :4990)
@@ -107,6 +112,14 @@ class ProfileResult:
     max_stat: np.ndarray | None = None      # step 25 upper-bound abundance
     similar_marks: dict = field(default_factory=dict)   # assembly -> bool
     noise_projections: list = field(default_factory=list)  # step 20 results
+    # steps 4-7 products
+    selected_assembly_list: dict = field(default_factory=dict)  # sp -> asm
+    raw_stat: np.ndarray | None = None      # step 7 pre-noise stat table
+    # name tables covering every assembly/sequence id in this result (equal
+    # to the profiler db's unless assembly selection appended candidates)
+    assembly_names: list = field(default_factory=list)
+    sequence_names: list = field(default_factory=list)
+    sequence_lengths: np.ndarray | None = None
 
 
 def _best_as_per_read(align_list: AlignList) -> dict[int, int]:
@@ -123,8 +136,11 @@ class TaxonProfiler:
     def __init__(self, db: RefDB, options: ProfileOptions | None = None,
                  human_db: RefDB | None = None,
                  decoy_db: RefDB | None = None, log: Log | None = None,
-                 aligner=None):
+                 aligner=None, assembly_db: RefDB | None = None):
         self.db = db
+        # assembly-ID genome set: extra candidate assemblies for steps 4-6
+        # (reference config/assembly_id.genome_set); names disjoint from db's
+        self.assembly_db = assembly_db
         self.options = options or ProfileOptions()
         # aligner override: pass a dist.sharded_aligner.ShardedAligner to
         # profile against an index partitioned across chips/hosts (output
@@ -200,8 +216,8 @@ class TaxonProfiler:
                 align_list.data["read_id"] = remap[align_list.data["read_id"]]
                 if align_list.cigar_map is not None:
                     align_list.cigar_map = {
-                        (int(remap[r]), s): v
-                        for (r, s), v in align_list.cigar_map.items()}
+                        (int(remap[k[0]]), *k[1:]): v
+                        for k, v in align_list.cigar_map.items()}
         n_aligned = len(np.unique(align_list.data["read_id"])) \
             if len(align_list) else 0
 
@@ -222,7 +238,65 @@ class TaxonProfiler:
                 align_list=align_list, best=best, stat=stat, noise_bed=None,
                 n_reads_in=len(reads), n_reads_aligned=n_aligned,
                 human_read_ids=human_ids, decoy_read_ids=decoy_ids,
-                human_best=human_best, decoy_best=decoy_best)
+                human_best=human_best, decoy_best=decoy_best,
+                assembly_names=list(self.db.assembly_names),
+                sequence_names=list(self.db.index.seq_names),
+                sequence_lengths=self.db.index.seq_lengths)
+
+        # steps 4-6: assembly selection. Gate on: demux-per-species
+        # re-alignment against the assembly-ID genome set + per-species
+        # best-assembly choice (megapath_nano.py:1313-1538). Gate off: the
+        # per-species best assembly comes from the species-set stats without
+        # re-aligning (main:4285-4310); the align_list is unchanged.
+        selected_assemblies: dict[int, int] = {}
+        result_seq_names = list(self.db.index.seq_names)
+        result_asm_names = list(self.db.assembly_names)
+        result_seq_lens = self.db.index.seq_lengths
+        if len(align_list):
+            if opt.assembly_selection and self.assembly_db is not None:
+                with log.step("assembly_selection"):
+                    sp_best = best_align_list(align_list, info, None)
+                    d = sp_best.data
+                    sp_bp: dict[int, int] = {}
+                    for s, f, t in zip(d["species_tax_id"],
+                                       d["sequence_from"],
+                                       d["sequence_to"]):
+                        sp_bp[int(s)] = sp_bp.get(int(s), 0) + int(t - f)
+                    selected_species = sorted(
+                        s for s, bp in sp_bp.items()
+                        if bp >= opt.min_aligned_bp_per_species)
+                    asr = run_assembly_selection(
+                        reads, align_list, self.db, self.assembly_db,
+                        selected_species=selected_species,
+                        min_average_depth=opt.assembly_id_min_average_depth,
+                        good_ratio=opt.good_align_threshold,
+                        align_params=opt.align, map_slice=opt.map_slice)
+                    align_list = asr.align_list
+                    info = asr.info
+                    selected_assemblies = asr.assembly_list
+                    result_seq_names = asr.sequence_names
+                    result_asm_names = asr.assembly_names
+                    result_seq_lens = np.concatenate(
+                        [self.db.index.seq_lengths,
+                         self.assembly_db.index.seq_lengths])
+            else:
+                # off branch computes the stat on the full placement list
+                # (no good-alignment filter), main:4291-4310
+                selected_assemblies = select_assemblies_per_species(
+                    align_list, info, good_ratio=0.0)
+
+        # step 7: raw stat — pre-noise best alignments that beat the read's
+        # human/decoy score (megapath_nano.py:1546-1567)
+        raw_stat_table = None
+        if len(align_list):
+            raw_best = best_align_list(align_list, info, None)
+            if human_as or decoy_as:
+                d = raw_best.data
+                floor = np.array(
+                    [max(human_as.get(int(r), 0), decoy_as.get(int(r), 0))
+                     for r in d["read_id"]], np.int64)
+                raw_best = raw_best.filter(d["alignment_score"] >= floor)
+            raw_stat_table = align_stat_by_assembly(raw_best, info, None)
 
         # noise stack (steps 8-12): named noise sources accumulate
         noise_sources: dict[str, np.ndarray] = {}
@@ -366,7 +440,12 @@ class TaxonProfiler:
             noise_sources=noise_sources,
             n_noise_alignments=n_noise_alignments,
             max_stat=max_stat, similar_marks=similar_marks,
-            noise_projections=projections)
+            noise_projections=projections,
+            selected_assembly_list=selected_assemblies,
+            raw_stat=raw_stat_table,
+            assembly_names=result_asm_names,
+            sequence_names=result_seq_names,
+            sequence_lengths=result_seq_lens)
 
     # -- genome-vs-genome helpers ----------------------------------------
     def _assembly_seqs(self, db: RefDB, assembly_id: int):
@@ -567,7 +646,7 @@ class TaxonProfiler:
         }
         write_preport(paths["preport"], result.stat, self.db.tax_names)
         write_microbe_stat(paths["microbe_stat"], result.stat,
-                           self.db.assembly_names)
+                           result.assembly_names)
         best = result.best
         aligned_bp = int((best.data["read_to"] - best.data["read_from"]).sum()) \
             if len(best) else 0
@@ -588,6 +667,22 @@ class TaxonProfiler:
                                     "bp": 0}
         write_read_stat(paths["read_stat"], categories)
 
+        # step 7 raw (pre-noise) stat table (.raw_stat, ref :1546-1567)
+        if result.raw_stat is not None:
+            paths["raw_stat"] = os.path.join(out_dir, f"{prefix}.raw_stat")
+            write_microbe_stat(paths["raw_stat"], result.raw_stat,
+                               result.assembly_names)
+        # steps 4-6 product: per-species chosen assembly (.genome_set-like)
+        if result.selected_assembly_list:
+            paths["assembly_selection"] = os.path.join(
+                out_dir, f"{prefix}.assembly_selection")
+            with open(paths["assembly_selection"], "w") as f:
+                f.write("species_tax_id\tassembly\n")
+                for sp, aid in sorted(result.selected_assembly_list.items()):
+                    name = result.assembly_names[aid] \
+                        if aid < len(result.assembly_names) else str(aid)
+                    f.write(f"{sp}\t{name}\n")
+
         # noise statistics (steps 22-24, megapath_nano.py:2944-3175)
         if result.noise_sources:
             paths["noise_stat"] = os.path.join(out_dir,
@@ -600,15 +695,15 @@ class TaxonProfiler:
                 for source, bed in result.noise_sources.items():
                     for aid, bp in sorted(
                             covered_bp_by_assembly(bed).items()):
-                        name = self.db.assembly_names[aid] \
-                            if aid < len(self.db.assembly_names) else str(aid)
+                        name = result.assembly_names[aid] \
+                            if aid < len(result.assembly_names) else str(aid)
                         f.write(f"{source}\t{name}\t{bp}\n")
                 f.write(f"#removed_alignments\t{result.n_noise_alignments}\n")
         if result.max_stat is not None:
             paths["max_microbe_stat"] = os.path.join(
                 out_dir, f"{prefix}.max_microbe_stat")
             write_microbe_stat(paths["max_microbe_stat"], result.max_stat,
-                               self.db.assembly_names)
+                               result.assembly_names)
         if result.noise_projections:
             paths["noise_projection"] = os.path.join(
                 out_dir, f"{prefix}.noise_projection")
@@ -616,8 +711,8 @@ class TaxonProfiler:
                 f.write("source_assembly\ttarget_assembly\tsimulated_reads"
                         "\tprojected_noise_reads\tprojected_noise_bp\n")
                 for pr in result.noise_projections:
-                    sn = self.db.assembly_names[pr.source_assembly]
-                    tn = self.db.assembly_names[pr.target_assembly]
+                    sn = result.assembly_names[pr.source_assembly]
+                    tn = result.assembly_names[pr.target_assembly]
                     f.write(f"{sn}\t{tn}\t{pr.simulated_reads}"
                             f"\t{pr.projected_noise_reads}"
                             f"\t{pr.projected_noise_bp}\n")
@@ -627,8 +722,8 @@ class TaxonProfiler:
             with open(paths["similar_species"], "w") as f:
                 f.write("assembly_id\tsimilar_to_genus_top\n")
                 for aid, mark in sorted(result.similar_marks.items()):
-                    name = self.db.assembly_names[aid] \
-                        if aid < len(self.db.assembly_names) else str(aid)
+                    name = result.assembly_names[aid] \
+                        if aid < len(result.assembly_names) else str(aid)
                     f.write(f"{name}\t{int(bool(mark))}\n")
 
         # alignment record outputs (.species.sam/.paf, lib/aligner.py:245-261)
@@ -644,7 +739,7 @@ class TaxonProfiler:
                 paths["species_sam"] = os.path.join(out_dir,
                                                     f"{prefix}.species.sam")
                 write_sam(paths["species_sam"], result.best, reads,
-                          self.db.index.seq_lengths)
+                          result.sequence_lengths if result.sequence_lengths is not None else self.db.index.seq_lengths)
 
         # per-category length/quality histograms (step 26 outputs)
         if read_lengths is not None:
@@ -677,7 +772,7 @@ class TaxonProfiler:
                 elif rid in assigned:
                     row = assigned[rid]
                     cat = "microbe"
-                    asm = self.db.assembly_names[int(row["assembly_id"])]
+                    asm = result.assembly_names[int(row["assembly_id"])]
                     score = int(row["alignment_score"])
                 else:
                     cat, asm, score = "unaligned", "-", 0
