@@ -193,9 +193,13 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
                           gap_extend=gap_extend, batch_tile=batch_tile,
                           backend=backend)
     zero = jnp.zeros(G, jnp.int32)
+    # col 14 carries the chain score (fits uint16: chain score <= query
+    # span < 2**15 under the fused gate) — the sharded mapper re-applies the
+    # global per-read top-K gate on it after merging shard rows
     extra = jnp.stack([keep.astype(jnp.int32), qs.astype(jnp.int32),
                        w_lo & 0xFFFF, w_lo >> 16,
-                       rid, seqid, strand.astype(jnp.int32), zero, zero],
+                       rid, seqid, strand.astype(jnp.int32),
+                       jnp.clip(best, 0, (1 << 15) - 1), zero],
                       axis=1)
     out = jnp.concatenate([full, extra], axis=1).astype(jnp.uint16)
     n_keep = jnp.sum(keep.astype(jnp.int32))
@@ -205,7 +209,7 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
 # _fused_tail row layout (uint16 columns)
 FUSED_COLS = 16
 (F_SCORE, F_END_I, F_END_J, F_MATCH, F_EDIT, F_BEGIN_I, F_BEGIN_J, F_KEEP,
- F_QS, F_WLO_LO, F_WLO_HI, F_RID, F_SEQ, F_STRAND) = range(14)
+ F_QS, F_WLO_LO, F_WLO_HI, F_RID, F_SEQ, F_STRAND, F_CHAIN) = range(15)
 
 
 def _pack_counts_row(counts_i32):
@@ -547,6 +551,81 @@ def select_alignments(rid, score, q_from, q_to, seq, strand, t_from, t_to,
             np.array(secondary, bool))
 
 
+def fused_collect_np(arr_u16, qlens_a, id_base, read_names,
+                     params: AlignParams, seq_names: list[str],
+                     seq_lengths: np.ndarray, meta: SequenceMeta) -> AlignList:
+    """Build align_list rows from downloaded _fused_tail stats rows
+    (vectorized numpy). arr_u16: (rows, FUSED_COLS) uint16, counts row
+    already stripped. Shared by the single-index MinimizerAligner and the
+    multi-chip shard_map mapper (which concatenates per-shard row blocks
+    first)."""
+    p = params
+    n_seqs = len(seq_names)
+    seq_lens = seq_lengths
+    arr = arr_u16.astype(np.int64)
+    w_lo = arr[:, F_WLO_LO] | (arr[:, F_WLO_HI] << 16)
+
+    kept = np.flatnonzero((arr[:, F_KEEP] == 1)
+                          & (arr[:, F_SCORE] > p.min_alignment_score))
+    if len(kept) == 0:
+        return AlignList.empty(seq_names, meta.assembly_names,
+                               read_names or [])
+    # candidate geometry in original read coordinates (needed by the
+    # multi-locus selection's query-overlap masking)
+    rid_k = arr[kept, F_RID]
+    qlen_k = qlens_a[rid_k].astype(np.int64)
+    strand_k = arr[kept, F_STRAND]
+    ob_k = arr[kept, F_QS] + arr[kept, F_BEGIN_I]   # oriented frame
+    oe_k = arr[kept, F_QS] + arr[kept, F_END_I]
+    rf_k = np.where(strand_k == 0, ob_k, qlen_k - (oe_k + 1))
+    rt_k = np.where(strand_k == 0, oe_k + 1, qlen_k - ob_k)
+    tf_k = w_lo[kept] + arr[kept, F_BEGIN_J]
+    tt_k = w_lo[kept] + arr[kept, F_END_J] + 1
+
+    # minimap2-style multi-locus selection (-N/-p semantics): keeps
+    # multiple loci per (read, sequence) — chimeric reads and repeats
+    sel, mapq, _is_sec = select_alignments(
+        rid_k, arr[kept, F_SCORE], rf_k, rt_k, arr[kept, F_SEQ],
+        strand_k, tf_k, tt_k, secondary_ratio=p.secondary_ratio,
+        mask_level=p.mask_level,
+        max_secondary=p.max_alignments_per_read)
+    g = kept[sel]
+
+    rid_s = rid_k[sel]
+    seq_s = arr[g, F_SEQ]
+    sc_s = arr[g, F_SCORE]
+    qlen_s = qlen_k[sel]
+    strand_s = strand_k[sel]
+
+    out = np.zeros(len(g), ALIGN_DTYPE)
+    out["read_id"] = rid_s + id_base
+    out["read_length"] = qlen_s
+    out["read_from"] = rf_k[sel]
+    out["read_to"] = rt_k[sel]
+    out["strand"] = strand_s
+    out["sequence_id"] = seq_s
+    out["sequence_length"] = seq_lens[seq_s]
+    out["sequence_from"] = w_lo[g] + arr[g, F_BEGIN_J]
+    out["sequence_to"] = w_lo[g] + arr[g, F_END_J] + 1
+    out["match"] = arr[g, F_MATCH]
+    out["mapq"] = mapq
+    out["edit_dist"] = arr[g, F_EDIT]
+    out["alignment_score"] = sc_s
+    out["assembly_id"] = meta.assembly_idx[seq_s]
+    out["tax_id"] = meta.tax_id[seq_s]
+    out["species_tax_id"] = meta.species_tax_id[seq_s]
+    out["genus_tax_id"] = meta.genus_tax_id[seq_s]
+    out["alignment_score_tiebreaker"] = _stable_uniform(
+        p.tiebreaker_seed, out["read_id"],
+        out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
+        + out["sequence_from"])
+    order = np.lexsort((out["sequence_from"], out["sequence_id"],
+                        out["read_id"]))
+    return AlignList(out[order], list(seq_names),
+                     list(meta.assembly_names), read_names or [],
+                     None)
+
+
 class MinimizerAligner:
     """End-to-end read mapper against a MinimizerIndex."""
 
@@ -764,75 +843,9 @@ class MinimizerAligner:
         return fut, (qlens_a, None)
 
     def _fused_collect_np(self, arr_u16, qlens_a, id_base, read_names):
-        """Build align_list rows from downloaded _fused_tail stats rows
-        (vectorized numpy). arr_u16: (rows, FUSED_COLS) uint16, counts row
-        already stripped."""
-        p = self.params
-        idx = self.index
-        n_seqs = len(idx.seq_names)
-        seq_lens = idx.seq_lengths
-        arr = arr_u16.astype(np.int64)
-        w_lo = arr[:, F_WLO_LO] | (arr[:, F_WLO_HI] << 16)
-
-        kept = np.flatnonzero((arr[:, F_KEEP] == 1)
-                              & (arr[:, F_SCORE] > p.min_alignment_score))
-        if len(kept) == 0:
-            return AlignList.empty(idx.seq_names, self.meta.assembly_names,
-                                   read_names or [])
-        # candidate geometry in original read coordinates (needed by the
-        # multi-locus selection's query-overlap masking)
-        rid_k = arr[kept, F_RID]
-        qlen_k = qlens_a[rid_k].astype(np.int64)
-        strand_k = arr[kept, F_STRAND]
-        ob_k = arr[kept, F_QS] + arr[kept, F_BEGIN_I]   # oriented frame
-        oe_k = arr[kept, F_QS] + arr[kept, F_END_I]
-        rf_k = np.where(strand_k == 0, ob_k, qlen_k - (oe_k + 1))
-        rt_k = np.where(strand_k == 0, oe_k + 1, qlen_k - ob_k)
-        tf_k = w_lo[kept] + arr[kept, F_BEGIN_J]
-        tt_k = w_lo[kept] + arr[kept, F_END_J] + 1
-
-        # minimap2-style multi-locus selection (-N/-p semantics): keeps
-        # multiple loci per (read, sequence) — chimeric reads and repeats
-        sel, mapq, _is_sec = select_alignments(
-            rid_k, arr[kept, F_SCORE], rf_k, rt_k, arr[kept, F_SEQ],
-            strand_k, tf_k, tt_k, secondary_ratio=p.secondary_ratio,
-            mask_level=p.mask_level,
-            max_secondary=p.max_alignments_per_read)
-        g = kept[sel]
-
-        rid_s = rid_k[sel]
-        seq_s = arr[g, F_SEQ]
-        sc_s = arr[g, F_SCORE]
-        qlen_s = qlen_k[sel]
-        strand_s = strand_k[sel]
-
-        out = np.zeros(len(g), ALIGN_DTYPE)
-        out["read_id"] = rid_s + id_base
-        out["read_length"] = qlen_s
-        out["read_from"] = rf_k[sel]
-        out["read_to"] = rt_k[sel]
-        out["strand"] = strand_s
-        out["sequence_id"] = seq_s
-        out["sequence_length"] = seq_lens[seq_s]
-        out["sequence_from"] = w_lo[g] + arr[g, F_BEGIN_J]
-        out["sequence_to"] = w_lo[g] + arr[g, F_END_J] + 1
-        out["match"] = arr[g, F_MATCH]
-        out["mapq"] = mapq
-        out["edit_dist"] = arr[g, F_EDIT]
-        out["alignment_score"] = sc_s
-        out["assembly_id"] = self.meta.assembly_idx[seq_s]
-        out["tax_id"] = self.meta.tax_id[seq_s]
-        out["species_tax_id"] = self.meta.species_tax_id[seq_s]
-        out["genus_tax_id"] = self.meta.genus_tax_id[seq_s]
-        out["alignment_score_tiebreaker"] = _stable_uniform(
-            p.tiebreaker_seed, out["read_id"],
-            out["sequence_id"].astype(np.int64) * np.int64(n_seqs + 1)
-            + out["sequence_from"])
-        order = np.lexsort((out["sequence_from"], out["sequence_id"],
-                            out["read_id"]))
-        return AlignList(out[order], list(idx.seq_names),
-                         list(self.meta.assembly_names), read_names or [],
-                         None)
+        return fused_collect_np(
+            arr_u16, qlens_a, id_base, read_names, self.params,
+            list(self.index.seq_names), self.index.seq_lengths, self.meta)
 
     # -- helpers ----------------------------------------------------------
     def _target_window(self, seq_id: int, start: int, end: int) -> np.ndarray:

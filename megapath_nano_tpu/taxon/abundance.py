@@ -171,3 +171,54 @@ def summary_stat_2(stat: np.ndarray) -> np.ndarray:
     stat["adjusted_total_aligned_bp"] = np.round(
         stat["adjusted_average_depth"] * length).astype(np.int64)
     return stat
+
+
+def align_stat_by_sequence(
+    align_list: AlignList,
+    seq_lengths: np.ndarray,
+) -> np.ndarray:
+    """Per-SEQUENCE stats over per-(read, sequence) best alignments —
+    align_list_to_align_stat_by_sequence_id (reference megapath_nano.py:
+    589-620; the .microbe_stat_by_sequence_id / .human_stat / .decoy_stat
+    outputs). Reuses STAT_DTYPE with assembly_id holding the sequence id
+    and assembly_length the sequence length."""
+    data = align_list.data
+    if len(data):
+        order = np.lexsort((data["alignment_score_tiebreaker"],
+                            data["alignment_score"],
+                            data["sequence_id"], data["read_id"]))
+        d = data[order]
+        last = np.append(
+            (d["read_id"][1:] != d["read_id"][:-1])
+            | (d["sequence_id"][1:] != d["sequence_id"][:-1]), True)
+        data = d[last]
+    sids = np.unique(data["sequence_id"]) if len(data) else \
+        np.zeros(0, np.int64)
+    n = len(sids)
+    out = np.zeros(n, STAT_DTYPE)
+    out["assembly_id"] = sids
+    if n == 0:
+        return out
+    remap = {int(s): i for i, s in enumerate(sids)}
+    seg = np.array([remap[int(s)] for s in data["sequence_id"]], np.int64)
+    out["total_number_of_read"] = _segment_sum(
+        np.ones(len(data), np.int64), seg, n)
+    out["total_read_bp"] = _segment_sum(data["read_length"], seg, n)
+    aligned = data["sequence_to"] - data["sequence_from"]
+    out["total_aligned_bp"] = _segment_sum(aligned, seg, n)
+    out["match"] = _segment_sum(data["match"], seg, n)
+    out["edit_dist"] = _segment_sum(data["edit_dist"], seg, n)
+    out["alignment_score"] = _segment_sum(data["alignment_score"], seg, n)
+    out["assembly_length"] = seq_lengths[sids]
+    out["tax_id"] = [data["tax_id"][seg == i][0] for i in range(n)]
+    out["species_tax_id"] = [data["species_tax_id"][seg == i][0]
+                             for i in range(n)]
+    out["genus_tax_id"] = [data["genus_tax_id"][seg == i][0]
+                           for i in range(n)]
+    # covered bp per sequence: merge intervals keyed by sequence alone
+    covered = make_bed(data["sequence_id"], data["sequence_id"],
+                       data["sequence_from"], data["sequence_to"])
+    covered = merge_bed(covered)
+    cov = covered_bp_by_assembly(covered)
+    out["covered_bp"] = [cov.get(int(s), 0) for s in sids]
+    return summary_stat_2(out)

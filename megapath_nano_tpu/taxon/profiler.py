@@ -34,7 +34,8 @@ from megapath_nano_tpu.db.refdb import RefDB
 from megapath_nano_tpu.report.writers import (write_microbe_stat,
                                               write_preport,
                                               write_read_stat)
-from megapath_nano_tpu.taxon.abundance import align_stat_by_assembly
+from megapath_nano_tpu.taxon.abundance import (align_stat_by_assembly,
+                                               align_stat_by_sequence)
 from megapath_nano_tpu.taxon.assembly_selection import (
     run_assembly_selection, select_assemblies_per_species)
 from megapath_nano_tpu.taxon.best_align import best_align_list
@@ -115,6 +116,11 @@ class ProfileResult:
     # steps 4-7 products
     selected_assembly_list: dict = field(default_factory=dict)  # sp -> asm
     raw_stat: np.ndarray | None = None      # step 7 pre-noise stat table
+    id_stat: np.ndarray | None = None       # identification-stage stat
+    unique_stat: np.ndarray | None = None   # step 19 stat over unique reads
+    pre_noise_best: AlignList | None = None  # raw best list (noise stats)
+    human_stat: np.ndarray | None = None    # per-sequence human stats
+    decoy_stat: np.ndarray | None = None
     # name tables covering every assembly/sequence id in this result (equal
     # to the profiler db's unless assembly selection appended candidates)
     assembly_names: list = field(default_factory=list)
@@ -286,10 +292,16 @@ class TaxonProfiler:
                     align_list, info, good_ratio=0.0)
 
         # step 7: raw stat — pre-noise best alignments that beat the read's
-        # human/decoy score (megapath_nano.py:1546-1567)
+        # human/decoy score (megapath_nano.py:1546-1567). The ungated best
+        # list is the identification-stage list (.id_stat,
+        # id_best_align_list = assembly_selection best, main:4769).
         raw_stat_table = None
+        id_stat_table = None
+        raw_best = None
         if len(align_list):
-            raw_best = best_align_list(align_list, info, None)
+            id_best = best_align_list(align_list, info, None)
+            id_stat_table = align_stat_by_assembly(id_best, info, None)
+            raw_best = id_best
             if human_as or decoy_as:
                 d = raw_best.data
                 floor = np.array(
@@ -410,6 +422,13 @@ class TaxonProfiler:
 
         with log.step("statistics"):
             stat = align_stat_by_assembly(best, info, noise_bed)
+            unique_stat = None
+            if unique_ids is not None and len(unique_ids):
+                uset = set(unique_ids.tolist())
+                umask = np.array([int(r) in uset
+                                  for r in best.data["read_id"]])
+                unique_stat = align_stat_by_assembly(
+                    best.filter(umask), info, noise_bed)
             # step 25: upper-bound abundance over best + noise alignments
             # (max_adjusted_abundance, megapath_nano.py:3183-3202)
             max_stat = None
@@ -442,7 +461,14 @@ class TaxonProfiler:
             max_stat=max_stat, similar_marks=similar_marks,
             noise_projections=projections,
             selected_assembly_list=selected_assemblies,
-            raw_stat=raw_stat_table,
+            raw_stat=raw_stat_table, id_stat=id_stat_table,
+            unique_stat=unique_stat, pre_noise_best=raw_best,
+            human_stat=(align_stat_by_sequence(
+                human_best, self.human_db.index.seq_lengths)
+                if human_best is not None and len(human_best) else None),
+            decoy_stat=(align_stat_by_sequence(
+                decoy_best, self.decoy_db.index.seq_lengths)
+                if decoy_best is not None and len(decoy_best) else None),
             assembly_names=result_asm_names,
             sequence_names=result_seq_names,
             sequence_lengths=result_seq_lens)
@@ -635,146 +661,307 @@ class TaxonProfiler:
                       prefix: str = "out",
                       read_lengths: np.ndarray | None = None,
                       read_quals: np.ndarray | None = None,
-                      reads: list | None = None) -> dict:
-        """Output surface (step 27, megapath_nano.py:3275-3888)."""
+                      reads: list | None = None,
+                      archive_format: str = "gztar") -> dict:
+        """Full output surface (step 27, megapath_nano.py:3275-3888):
+        .genome_set, .per_read archive (read/human/decoy/id/raw/list/
+        microbe/unique/noise lists), .quality_score/.read_length archives,
+        .read_stat, .human_stat/.decoy_stat (per sequence), .id_stat/
+        .raw_stat, .microbe_stat (+pre-noise columns + similar-species
+        marker), .unique_stat, .preport, .read_count_by_name,
+        .microbe_stat_by_sequence_id, .bam_filter/.bam_filter_good,
+        .noise.bed + per-source beds + .noise archive (noise_stat /
+        noise_source_stat), .species.sam/.paf."""
+        import shutil
+        import tempfile
+
+        from megapath_nano_tpu.report.writers import (write_align_list_tsv,
+                                                      write_bed_tsv,
+                                                      write_genome_set,
+                                                      write_stat_table)
+        from megapath_nano_tpu.taxon.assembly_selection import \
+            good_align_list
+        from megapath_nano_tpu.taxon.noise_stats import (noise_removal_stats,
+                                                         noise_source_stats)
+
         os.makedirs(out_dir, exist_ok=True)
+        fp = os.path.join(out_dir, prefix)
         paths = {
-            "preport": os.path.join(out_dir, f"{prefix}.preport"),
-            "microbe_stat": os.path.join(out_dir, f"{prefix}.microbe_stat"),
-            "read_stat": os.path.join(out_dir, f"{prefix}.read_stat"),
-            "read_list": os.path.join(out_dir, f"{prefix}.read_list"),
+            "preport": fp + ".preport",
+            "microbe_stat": fp + ".microbe_stat",
+            "read_stat": fp + ".read_stat",
         }
-        write_preport(paths["preport"], result.stat, self.db.tax_names)
-        write_microbe_stat(paths["microbe_stat"], result.stat,
-                           result.assembly_names)
+        asm_names = result.assembly_names
         best = result.best
-        aligned_bp = int((best.data["read_to"] - best.data["read_from"]).sum()) \
-            if len(best) else 0
         human_set = set(result.human_read_ids.tolist()
                         if result.human_read_ids is not None else [])
         decoy_set = set(result.decoy_read_ids.tolist()
                         if result.decoy_read_ids is not None else [])
-        categories = {
-            "input": {"reads": result.n_reads_in,
-                      "bp": int(read_lengths.sum()) if read_lengths is not None
-                      else 0},
-            "human": {"reads": len(human_set), "bp": 0},
-            "decoy": {"reads": len(decoy_set), "bp": 0},
-            "microbe_aligned": {"reads": len(best), "bp": aligned_bp},
-        }
-        if result.unique_read_ids is not None:
-            categories["unique"] = {"reads": len(result.unique_read_ids),
-                                    "bp": 0}
-        write_read_stat(paths["read_stat"], categories)
+        micro_ids = (np.unique(best.data["read_id"]).astype(np.int64)
+                     if len(best) else np.zeros(0, np.int64))
+        micro_set = set(micro_ids.tolist())
 
-        # step 7 raw (pre-noise) stat table (.raw_stat, ref :1546-1567)
-        if result.raw_stat is not None:
-            paths["raw_stat"] = os.path.join(out_dir, f"{prefix}.raw_stat")
-            write_microbe_stat(paths["raw_stat"], result.raw_stat,
-                               result.assembly_names)
-        # steps 4-6 product: per-species chosen assembly (.genome_set-like)
-        if result.selected_assembly_list:
-            paths["assembly_selection"] = os.path.join(
-                out_dir, f"{prefix}.assembly_selection")
-            with open(paths["assembly_selection"], "w") as f:
-                f.write("species_tax_id\tassembly\n")
-                for sp, aid in sorted(result.selected_assembly_list.items()):
-                    name = result.assembly_names[aid] \
-                        if aid < len(result.assembly_names) else str(aid)
-                    f.write(f"{sp}\t{name}\n")
+        # .preport + main per-assembly table (pre-noise + marker columns)
+        write_preport(paths["preport"], result.stat, self.db.tax_names)
+        pre_stat = {int(r["assembly_id"]): r for r in result.id_stat} \
+            if result.id_stat is not None else {}
+        write_microbe_stat(paths["microbe_stat"], result.stat, asm_names,
+                           pre_stat=pre_stat,
+                           similar_marks=result.similar_marks)
 
-        # noise statistics (steps 22-24, megapath_nano.py:2944-3175)
-        if result.noise_sources:
-            paths["noise_stat"] = os.path.join(out_dir,
-                                               f"{prefix}.noise_stat")
-            from megapath_nano_tpu.taxon.intervals import \
-                covered_bp_by_assembly
+        # .genome_set (assembly_info table, ref :3335)
+        paths["genome_set"] = fp + ".genome_set"
+        write_genome_set(paths["genome_set"], asm_names,
+                         result.stat, self.db)
 
-            with open(paths["noise_stat"], "w") as f:
-                f.write("source\tassembly_id\tnoise_span_bp\n")
-                for source, bed in result.noise_sources.items():
-                    for aid, bp in sorted(
-                            covered_bp_by_assembly(bed).items()):
-                        name = result.assembly_names[aid] \
-                            if aid < len(result.assembly_names) else str(aid)
-                        f.write(f"{source}\t{name}\t{bp}\n")
-                f.write(f"#removed_alignments\t{result.n_noise_alignments}\n")
+        # stage stat tables
+        for key, table in [("id_stat", result.id_stat),
+                           ("raw_stat", result.raw_stat),
+                           ("unique_stat", result.unique_stat)]:
+            if table is not None:
+                paths[key] = fp + f".{key}"
+                write_stat_table(paths[key], table, asm_names)
+        if result.human_stat is not None and self.human_db is not None:
+            paths["human_stat"] = fp + ".human_stat"
+            write_stat_table(paths["human_stat"], result.human_stat,
+                             list(self.human_db.index.seq_names))
+        if result.decoy_stat is not None and self.decoy_db is not None:
+            paths["decoy_stat"] = fp + ".decoy_stat"
+            write_stat_table(paths["decoy_stat"], result.decoy_stat,
+                             list(self.decoy_db.index.seq_names))
         if result.max_stat is not None:
-            paths["max_microbe_stat"] = os.path.join(
-                out_dir, f"{prefix}.max_microbe_stat")
-            write_microbe_stat(paths["max_microbe_stat"], result.max_stat,
-                               result.assembly_names)
+            paths["max_adjusted_abundance"] = fp + ".max_adjusted_abundance"
+            write_stat_table(paths["max_adjusted_abundance"],
+                             result.max_stat, asm_names)
+
+        # per-sequence microbe stat (ref :3680 by_sequence_id)
+        if len(best):
+            from megapath_nano_tpu.taxon.abundance import \
+                align_stat_by_sequence
+            seq_lens = result.sequence_lengths \
+                if result.sequence_lengths is not None \
+                else self.db.index.seq_lengths
+            paths["microbe_stat_by_sequence_id"] = \
+                fp + ".microbe_stat_by_sequence_id"
+            write_stat_table(paths["microbe_stat_by_sequence_id"],
+                             align_stat_by_sequence(best, seq_lens),
+                             result.sequence_names)
+
+            # .read_count_by_name (ref :3668-3673)
+            paths["read_count_by_name"] = fp + ".read_count_by_name"
+            sid, cnt = np.unique(best.data["sequence_id"],
+                                 return_counts=True)
+            with open(paths["read_count_by_name"], "w") as f:
+                f.write("sequence_name\tread_count\n")
+                order = np.argsort(-cnt, kind="stable")
+                for i in order:
+                    name = result.sequence_names[int(sid[i])] \
+                        if int(sid[i]) < len(result.sequence_names) \
+                        else str(int(sid[i]))
+                    f.write(f"{name}\t{int(cnt[i])}\n")
+
+            # .bam_filter / .bam_filter_good (ref :3713-3721)
+            paths["bam_filter"] = fp + ".bam_filter"
+            write_align_list_tsv(paths["bam_filter"], best)
+            paths["bam_filter_good"] = fp + ".bam_filter_good"
+            write_align_list_tsv(paths["bam_filter_good"],
+                                 good_align_list(result.align_list, 0.8))
+
+        # read_stat: reference's 14-column totals (ref :44-47, :3395)
+        n_in = result.n_reads_in
+        rl = read_lengths if read_lengths is not None \
+            else np.zeros(n_in, np.int64)
+        aligned_set = micro_set | human_set | decoy_set
+        amask = np.array([i in aligned_set for i in range(n_in)], bool) \
+            if n_in else np.zeros(0, bool)
+        hmask = np.array([i in human_set for i in range(n_in)], bool) \
+            if n_in else np.zeros(0, bool)
+        dmask = np.array([i in decoy_set for i in range(n_in)], bool) \
+            if n_in else np.zeros(0, bool)
+        mmask = np.array([i in micro_set for i in range(n_in)], bool) \
+            if n_in else np.zeros(0, bool)
+        with open(paths["read_stat"], "w") as f:
+            cols = ["total_number_of_read", "passed_filter", "aligned",
+                    "human_read", "decoy_read", "microbe_read", "unaligned",
+                    "total_read_bp", "total_passed_filter_read_bp",
+                    "total_aligned_read_bp", "total_human_read_bp",
+                    "total_decoy_read_bp", "total_microbe_read_bp",
+                    "total_unaligned_read_bp"]
+            vals = [n_in, n_in, int(amask.sum()), int(hmask.sum()),
+                    int(dmask.sum()), int(mmask.sum()),
+                    n_in - int(amask.sum()), int(rl.sum()), int(rl.sum()),
+                    int(rl[amask].sum()), int(rl[hmask].sum()),
+                    int(rl[dmask].sum()), int(rl[mmask].sum()),
+                    int(rl[~amask].sum()) if n_in else 0]
+            f.write("\t".join(cols) + "\n")
+            f.write("\t".join(str(v) for v in vals) + "\n")
+
+        # noise outputs: beds, per-source removal stats, source attribution
+        if result.noise_bed is not None and len(result.noise_bed):
+            paths["noise_bed"] = fp + ".noise.bed"
+            write_bed_tsv(paths["noise_bed"], result.noise_bed,
+                          result.sequence_names, asm_names)
+        for source, bed in result.noise_sources.items():
+            if len(bed):
+                paths[f"{source}_noise_bed"] = fp + f".{source}_noise.bed"
+                write_bed_tsv(paths[f"{source}_noise_bed"], bed,
+                              result.sequence_names, asm_names)
+        if result.pre_noise_best is not None and len(result.pre_noise_best):
+            ntmp = tempfile.mkdtemp(prefix="noise_out_")
+            table, all_mask = noise_removal_stats(
+                result.pre_noise_best, result.noise_sources,
+                result.noise_bed,
+                min_align_length=self.options.min_alignment_length,
+                overlap_fraction=self.options.noise_overlap_fraction)
+            with open(os.path.join(ntmp, f"{prefix}.noise_stat"),
+                      "w") as f:
+                sources = ["spike", "human_repetitive",
+                           "microbe_repetitive", "closing_spike",
+                           "variable_region", "noise", "short", "all"]
+                f.write("assembly_id\t" + "\t".join(
+                    f"{s}_{c}" for s in sources
+                    for c in ("read_count", "read_bp", "aligned_bp"))
+                    + "\n")
+                for aid in sorted(table):
+                    name = asm_names[aid] if aid < len(asm_names) \
+                        else str(aid)
+                    row = [name]
+                    for s in sources:
+                        row += [str(v) for v in table[aid].get(s, (0, 0, 0))]
+                    f.write("\t".join(row) + "\n")
+            noise_best = result.pre_noise_best.filter(all_mask)
+            rows = noise_source_stats(
+                noise_best, best,
+                human_read_ids=result.human_read_ids,
+                decoy_read_ids=result.decoy_read_ids)
+            with open(os.path.join(ntmp, f"{prefix}.noise_source_stat"),
+                      "w") as f:
+                f.write("target_assembly_id\tsource_assembly_id"
+                        "\tnoise_read_count\tnoise_aligned_bp"
+                        "\tnoise_read_bp\n")
+                for t, s, c, ab, rb in rows:
+                    tn = asm_names[t] if t < len(asm_names) else str(t)
+                    sn = asm_names[s] if isinstance(s, (int, np.integer)) \
+                        and s < len(asm_names) else str(s)
+                    f.write(f"{tn}\t{sn}\t{c}\t{ab}\t{rb}\n")
+            if result.similar_marks:
+                with open(os.path.join(ntmp, f"{prefix}.similar_region"),
+                          "w") as f:
+                    f.write("assembly_id\tsimilar_to_genus_top\n")
+                    for aid, mark in sorted(result.similar_marks.items()):
+                        name = asm_names[aid] if aid < len(asm_names) \
+                            else str(aid)
+                        f.write(f"{name}\t{int(bool(mark))}\n")
+            paths["noise_archive"] = shutil.make_archive(
+                fp + ".noise", format=archive_format, root_dir=ntmp)
+            shutil.rmtree(ntmp)
+        if result.similar_marks:
+            paths["similar_species"] = fp + ".similar_species"
+            with open(paths["similar_species"], "w") as f:
+                f.write("assembly_id\tsimilar_to_genus_top\n")
+                for aid, mark in sorted(result.similar_marks.items()):
+                    name = asm_names[aid] if aid < len(asm_names) \
+                        else str(aid)
+                    f.write(f"{name}\t{int(bool(mark))}\n")
         if result.noise_projections:
-            paths["noise_projection"] = os.path.join(
-                out_dir, f"{prefix}.noise_projection")
+            paths["noise_projection"] = fp + ".noise_projection"
             with open(paths["noise_projection"], "w") as f:
                 f.write("source_assembly\ttarget_assembly\tsimulated_reads"
                         "\tprojected_noise_reads\tprojected_noise_bp\n")
                 for pr in result.noise_projections:
-                    sn = result.assembly_names[pr.source_assembly]
-                    tn = result.assembly_names[pr.target_assembly]
+                    sn = asm_names[pr.source_assembly]
+                    tn = asm_names[pr.target_assembly]
                     f.write(f"{sn}\t{tn}\t{pr.simulated_reads}"
                             f"\t{pr.projected_noise_reads}"
                             f"\t{pr.projected_noise_bp}\n")
-        if result.similar_marks:
-            paths["similar_species"] = os.path.join(
-                out_dir, f"{prefix}.similar_species")
-            with open(paths["similar_species"], "w") as f:
-                f.write("assembly_id\tsimilar_to_genus_top\n")
-                for aid, mark in sorted(result.similar_marks.items()):
-                    name = result.assembly_names[aid] \
-                        if aid < len(result.assembly_names) else str(aid)
-                    f.write(f"{name}\t{int(bool(mark))}\n")
+        # steps 4-6 product: per-species chosen assembly
+        if result.selected_assembly_list:
+            paths["assembly_selection"] = fp + ".assembly_selection"
+            with open(paths["assembly_selection"], "w") as f:
+                f.write("species_tax_id\tassembly\n")
+                for sp, aid in sorted(result.selected_assembly_list.items()):
+                    name = asm_names[aid] if aid < len(asm_names) \
+                        else str(aid)
+                    f.write(f"{sp}\t{name}\n")
+
+        # per-read archive (ref :3345-3360)
+        ptmp = tempfile.mkdtemp(prefix="per_read_out_")
+        pp = os.path.join(ptmp, prefix)
+        with open(pp + ".read_list", "w") as f:
+            f.write("read_id\tread_length\tpassed_filter\taligned"
+                    "\thuman_read\tdecoy_read\tmicrobe_read\n")
+            for rid in range(n_in):
+                f.write(f"{rid}\t{int(rl[rid]) if rid < len(rl) else 0}\t1"
+                        f"\t{int(rid in aligned_set)}"
+                        f"\t{int(rid in human_set)}"
+                        f"\t{int(rid in decoy_set)}"
+                        f"\t{int(rid in micro_set)}\n")
+        listed = [("microbe_list", best), ("list", result.align_list)]
+        if result.human_best is not None:
+            listed.append(("human_list", result.human_best))
+        if result.decoy_best is not None:
+            listed.append(("decoy_list", result.decoy_best))
+        if result.pre_noise_best is not None:
+            listed.append(("raw_list", result.pre_noise_best))
+            table2, all_mask2 = noise_removal_stats(
+                result.pre_noise_best, result.noise_sources,
+                result.noise_bed,
+                min_align_length=self.options.min_alignment_length,
+                overlap_fraction=self.options.noise_overlap_fraction)
+            listed.append(("noise_list",
+                           result.pre_noise_best.filter(all_mask2)))
+        if result.unique_read_ids is not None and len(best):
+            uset = set(result.unique_read_ids.tolist())
+            umask = np.array([int(r) in uset
+                              for r in best.data["read_id"]])
+            listed.append(("unique_list", best.filter(umask)))
+        for name, al in listed:
+            write_align_list_tsv(pp + f".{name}", al)
+        paths["per_read_archive"] = shutil.make_archive(
+            fp + ".per_read", format=archive_format, root_dir=ptmp)
+        shutil.rmtree(ptmp)
 
         # alignment record outputs (.species.sam/.paf, lib/aligner.py:245-261)
         if reads is not None and len(result.best):
             from megapath_nano_tpu.report.samout import write_paf, write_sam
 
-            paths["species_paf"] = os.path.join(out_dir,
-                                                f"{prefix}.species.paf")
+            paths["species_paf"] = fp + ".species.paf"
             write_paf(paths["species_paf"], result.best)
             # SAM needs real CIGARs — only written when the run mapped with
             # emit_cigars (PAF-only runs skip it rather than emit fake Ms)
             if result.best.cigar_map is not None:
-                paths["species_sam"] = os.path.join(out_dir,
-                                                    f"{prefix}.species.sam")
+                paths["species_sam"] = fp + ".species.sam"
                 write_sam(paths["species_sam"], result.best, reads,
-                          result.sequence_lengths if result.sequence_lengths is not None else self.db.index.seq_lengths)
+                          result.sequence_lengths
+                          if result.sequence_lengths is not None
+                          else self.db.index.seq_lengths)
 
-        # per-category length/quality histograms (step 26 outputs)
+        # per-category length/quality archives (7 categories, ref :3362-3392)
         if read_lengths is not None:
             from megapath_nano_tpu.report.histograms import write_histograms
 
-            micro_ids = (np.unique(result.best.data["read_id"])
-                         if len(result.best) else np.zeros(0, np.int64))
+            def cat(mask):
+                ids = np.flatnonzero(mask)
+                return {
+                    "lengths": read_lengths[ids] if len(ids) else
+                    np.zeros(0),
+                    "quals": (read_quals[ids]
+                              if read_quals is not None and len(ids)
+                              else None)}
             cats = {
                 "all": {"lengths": read_lengths, "quals": read_quals},
-                "microbe": {
-                    "lengths": read_lengths[micro_ids.astype(np.int64)]
-                    if len(micro_ids) else np.zeros(0),
-                    "quals": (read_quals[micro_ids.astype(np.int64)]
-                              if read_quals is not None and len(micro_ids)
-                              else None),
-                },
+                "passed": {"lengths": read_lengths, "quals": read_quals},
+                "human": cat(hmask), "decoy": cat(dmask),
+                "microbe": cat(mmask), "aligned": cat(amask),
+                "unaligned": cat(~amask if n_in else amask),
             }
-            hp = write_histograms(out_dir, prefix, cats)
-            paths.update(hp)
-
-        # per-read list with category flags (read_list, ref :2472-2548)
-        with open(paths["read_list"], "w") as f:
-            f.write("read_id\tcategory\tassembly_id\talignment_score\n")
-            assigned = {int(r["read_id"]): r for r in best.data}
-            for rid in range(result.n_reads_in):
-                if rid in human_set:
-                    cat, asm, score = "human", "-", 0
-                elif rid in decoy_set:
-                    cat, asm, score = "decoy", "-", 0
-                elif rid in assigned:
-                    row = assigned[rid]
-                    cat = "microbe"
-                    asm = result.assembly_names[int(row["assembly_id"])]
-                    score = int(row["alignment_score"])
-                else:
-                    cat, asm, score = "unaligned", "-", 0
-                f.write(f"{rid}\t{cat}\t{asm}\t{score}\n")
+            htmp = tempfile.mkdtemp(prefix="hist_out_")
+            hp = write_histograms(htmp, prefix, cats)
+            for kind in ("read_length", "quality_score"):
+                ktmp = tempfile.mkdtemp(prefix=f"{kind}_out_")
+                shutil.copy(hp[kind], ktmp)
+                paths[f"{kind}_archive"] = shutil.make_archive(
+                    fp + f".{kind}", format=archive_format, root_dir=ktmp)
+                shutil.rmtree(ktmp)
+            shutil.rmtree(htmp)
         return paths
