@@ -1,0 +1,359 @@
+"""Production multi-chip map path: the fused seed→chain→extend step running
+per index shard under shard_map, merged with an ICI all_gather.
+
+This is the TPU-native equivalent of the reference's minimap2 index-batch
+streaming (reference: bin/lib/aligner.py:211-217 — targets cat'd through a
+FIFO in chunks, minimap2 -I batches the index, the host merges per-read hits
+across passes; SURVEY §2.7). Here:
+
+  - the minimizer index is partitioned by target sequence across S shards;
+    each device holds its shard's sorted hash planes + packed bases
+    (device-resident — only the 2-bit packed reads cross the host link)
+  - reads are REPLICATED across the shard axis; each shard runs the SAME
+    fused dispatch as the single-chip device-seeded path
+    (align/device_seed.py seeding + align/pipeline._fused_tail) against its
+    local planes
+  - per-shard row blocks (compacted uint16 stats rows) are merged with
+    jax.lax.all_gather over the "shard" mesh axis — one collective, one
+    host fetch regardless of S
+  - the host applies the global per-read top-K chain gate over the union
+    (each shard kept its local top-K, a superset of the global top-K) and
+    the standard multi-locus selection/collect (fused_collect_np), so the
+    output AlignList is field-identical to the single-index mapper's
+
+Known divergence (shared with the reference's own -I batching): per-shard
+max_occ filtering sees per-shard key occupancy, so a minimizer repetitive
+globally but rare per shard may seed extra candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from megapath_nano_tpu.align.pipeline import (AlignParams, F_CHAIN, F_KEEP,
+                                              F_RID, F_SEQ, FUSED_COLS,
+                                              SequenceMeta, _fused_tail,
+                                              _pack_counts_row, _pack_reads2,
+                                              _unpack_counts_row,
+                                              _unpack_reads, AlignList,
+                                              fused_collect_np)
+from megapath_nano_tpu.index.minimizer import MinimizerIndex
+
+_HASH_PAD = np.int32(1 << 30)   # > any 30-bit minimizer hash (k <= 15)
+
+
+@dataclass
+class ShardedIndexPlanes:
+    """Host container of per-shard device-index planes, padded to equal
+    shapes and stacked on a leading shard axis."""
+
+    keys32: np.ndarray        # (S, K) int32 sorted per shard (pad 2**30)
+    pos_t: np.ndarray         # (S, K) int32 within-sequence k-mer end
+    pos_ss: np.ndarray        # (S, K) int32 local seq_id << 1 | strand
+    seq_data: np.ndarray      # (S, T) int8, pad 5 (+ 2**15 sentinel tail)
+    seq_offsets: np.ndarray   # (S, N+1) int32 local concat offsets
+    seq_lengths: np.ndarray   # (S, N) int32
+    seq_global: np.ndarray    # (S, N) int32 local -> global seq id (pad -1)
+    k: int
+    w: int
+    seq_bits: int             # max local seq-id bit width over shards
+    global_seq_names: list[str]
+    global_seq_lengths: np.ndarray
+    local_indexes: list = field(default_factory=list)  # per-shard host index
+    shard_of_seq: np.ndarray | None = None             # (n_global,) int32
+
+    @property
+    def n_shards(self) -> int:
+        return self.keys32.shape[0]
+
+    @staticmethod
+    def build(sequences: list[np.ndarray], seq_names: list[str] | None,
+              n_shards: int, *, k: int = 15, w: int = 10,
+              assign: np.ndarray | None = None) -> "ShardedIndexPlanes":
+        """Partition sequences across shards (default: greedy
+        longest-first balance by total bp) and build per-shard planes."""
+        assert k <= 15, "device planes need 30-bit hashes (k <= 15)"
+        n = len(sequences)
+        names = seq_names or [f"seq{i}" for i in range(n)]
+        if assign is None:
+            order = np.argsort([-len(s) for s in sequences], kind="stable")
+            load = np.zeros(n_shards, np.int64)
+            assign = np.zeros(n, np.int32)
+            for i in order:
+                sh = int(np.argmin(load))
+                assign[i] = sh
+                load[sh] += len(sequences[i])
+        assign = np.asarray(assign, np.int32)
+
+        per_shard = [[] for _ in range(n_shards)]
+        for i in range(n):
+            per_shard[assign[i]].append(i)
+
+        locals_, tabs = [], []
+        for sh in range(n_shards):
+            gids = per_shard[sh]
+            if gids:
+                idx = MinimizerIndex.build(
+                    [sequences[i] for i in gids],
+                    [names[i] for i in gids], k=k, w=w)
+            else:
+                idx = MinimizerIndex.build(
+                    [np.zeros(0, np.int8)], ["__empty__"], k=k, w=w)
+                gids = [-1]
+            seq_id_l, pos_l, strand_l = idx.unpack(idx.positions)
+            keys32 = idx.keys.astype(np.int64)
+            assert keys32.size == 0 or keys32.max() < 2 ** 30
+            tabs.append((keys32.astype(np.int32), pos_l.astype(np.int32),
+                         ((seq_id_l.astype(np.int32) << 1)
+                          | strand_l).astype(np.int32), idx, gids))
+            locals_.append(idx)
+
+        K = max(1, max(len(t[0]) for t in tabs))
+        K = int(np.ceil(K / 128) * 128)
+        T = max(1, max(t[3].seq_data.size for t in tabs))
+        T = int(np.ceil(T / 128) * 128) + 2 ** 15   # sentinel window tail
+        N = max(len(t[4]) for t in tabs)
+
+        keys = np.full((n_shards, K), _HASH_PAD, np.int32)
+        pos_t = np.zeros((n_shards, K), np.int32)
+        pos_ss = np.zeros((n_shards, K), np.int32)
+        seq_data = np.full((n_shards, T), 5, np.int8)
+        seq_off = np.zeros((n_shards, N + 1), np.int32)
+        seq_len = np.zeros((n_shards, N), np.int32)
+        seq_glob = np.full((n_shards, N), -1, np.int32)
+        for sh, (kk, pt, ss, idx, gids) in enumerate(tabs):
+            keys[sh, :len(kk)] = kk
+            pos_t[sh, :len(pt)] = pt
+            pos_ss[sh, :len(ss)] = ss
+            seq_data[sh, :idx.seq_data.size] = idx.seq_data
+            nl = len(idx.seq_lengths)
+            seq_off[sh, :nl + 1] = idx.seq_offsets.astype(np.int32)
+            seq_off[sh, nl + 1:] = np.int32(idx.seq_offsets[-1])
+            seq_len[sh, :nl] = idx.seq_lengths.astype(np.int32)
+            seq_glob[sh, :len(gids)] = gids
+        shard_of_seq = np.zeros(n, np.int32)
+        shard_of_seq[np.arange(n)] = assign
+        return ShardedIndexPlanes(
+            keys32=keys, pos_t=pos_t, pos_ss=pos_ss, seq_data=seq_data,
+            seq_offsets=seq_off, seq_lengths=seq_len, seq_global=seq_glob,
+            k=k, w=w,
+            seq_bits=max(1, (max(N - 1, 1)).bit_length()),
+            global_seq_names=list(names),
+            global_seq_lengths=np.array([len(s) for s in sequences],
+                                        np.int64),
+            local_indexes=locals_, shard_of_seq=shard_of_seq)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "w", "max_occ", "min_group_anchors",
+                     "gap_break", "cap", "seq_bits", "wtot_max", "a_max",
+                     "g_max", "out_cap", "q_max", "t_max", "band", "match",
+                     "mismatch", "gap_open", "gap_extend", "batch_tile",
+                     "backend", "min_chain_score", "max_per_read",
+                     "window_pad"))
+def _sharded_fused_dispatch(keys32, pos_t, pos_ss, seq_data, seq_off,
+                            seq_len, packed2, exc_rid, exc_pos, qlens, *,
+                            mesh, k, w, max_occ, min_group_anchors,
+                            gap_break, cap, seq_bits, wtot_max, a_max,
+                            g_max, out_cap, q_max, t_max, band, match,
+                            mismatch, gap_open, gap_extend, batch_tile,
+                            backend, min_chain_score, max_per_read,
+                            window_pad):
+    """One multi-device dispatch: per-shard device seeding + fused tail,
+    merged with all_gather. Returns (S, out_cap+1, FUSED_COLS) uint16 —
+    out_cap compacted stats rows + a counts row per shard."""
+    from megapath_nano_tpu.align.device_seed import build_groups_device
+
+    def local_step(keys32, pos_t, pos_ss, seq_data, seq_off, seq_len,
+                   packed2, exc_rid, exc_pos, qlens):
+        codes = _unpack_reads(packed2, exc_rid, exc_pos)
+        qg, tg, cnt, rid, seqid, strand, t_base, dcounts = \
+            build_groups_device(
+                codes, qlens, keys32[0], pos_t[0], pos_ss[0], k=k, w=w,
+                max_occ=max_occ, min_group_anchors=min_group_anchors,
+                gap_break=gap_break, cap=cap, seq_bits=seq_bits,
+                wtot_max=wtot_max, a_max=a_max, g_max=g_max)
+        out, n_keep = _fused_tail(
+            codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
+            seq_data[0], seq_off[0], seq_len[0], k=k, q_max=q_max,
+            t_max=t_max, band=band, match=match, mismatch=mismatch,
+            gap_open=gap_open, gap_extend=gap_extend,
+            batch_tile=batch_tile, backend=backend,
+            min_chain_score=min_chain_score, max_per_read=max_per_read,
+            window_pad=window_pad)
+        corder = jnp.argsort(out[:, F_KEEP] == 0, stable=True)
+        out_c = out[corder[:out_cap]]
+        counts = jnp.concatenate([dcounts, n_keep[None]])
+        rows = jnp.concatenate([out_c, _pack_counts_row(counts)], axis=0)
+        # ICI merge: every device ends with all shards' row blocks
+        return jax.lax.all_gather(rows, "shard")
+
+    return shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("shard", None), P("shard", None), P("shard", None),
+                  P("shard", None), P("shard", None), P("shard", None),
+                  P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(keys32, pos_t, pos_ss, seq_data, seq_off, seq_len,
+      packed2, exc_rid, exc_pos, qlens)
+
+
+class ShardMapAligner:
+    """Multi-chip mapper: same AlignList output as MinimizerAligner, index
+    partitioned across a 'shard' mesh axis. PAF mode only (the taxon spine's
+    mode; base-exact CIGAR emit stays a single-chip/host concern)."""
+
+    def __init__(self, planes: ShardedIndexPlanes, mesh,
+                 meta: SequenceMeta | None = None,
+                 params: AlignParams | None = None):
+        assert mesh.shape["shard"] == planes.n_shards
+        self.planes = planes
+        self.mesh = mesh
+        self.params = params or AlignParams()
+        self.meta = meta or SequenceMeta.single_assembly_per_sequence(
+            planes.global_seq_names)
+        self._dev = None          # device-put shard arrays (lazy)
+        self._fallback = [None] * planes.n_shards
+
+    def _device_arrays(self):
+        if self._dev is None:
+            sh = NamedSharding(self.mesh, P("shard", None))
+            p = self.planes
+            self._dev = tuple(
+                jax.device_put(a, sh)
+                for a in (p.keys32, p.pos_t, p.pos_ss, p.seq_data,
+                          p.seq_offsets, p.seq_lengths))
+        return self._dev
+
+    def _caps(self, slice_n: int, read_max: int):
+        def pow2(x, lo=4096):
+            b = lo
+            while b < x:
+                b *= 2
+            return b
+        wtot_max = pow2(slice_n * read_max // 4)
+        g_max = pow2(4 * slice_n)
+        out_cap = 4096
+        while out_cap < self.params.devseed_out_per_read * slice_n:
+            out_cap *= 2
+        return wtot_max, wtot_max, g_max, min(out_cap, g_max)
+
+    def _shard_fallback_rows(self, sh: int, reads, read_max, band):
+        """Exact host-seeded dispatch against shard sh's local index —
+        run when the shard's device-seeded caps overflowed."""
+        from megapath_nano_tpu.align.anchors import collect_anchors
+        from megapath_nano_tpu.align.pipeline import MinimizerAligner
+
+        if self._fallback[sh] is None:
+            self._fallback[sh] = MinimizerAligner(
+                self.planes.local_indexes[sh], params=self.params)
+        al = self._fallback[sh]
+        groups = collect_anchors(al.index, reads, max_occ=self.params.max_occ,
+                                 min_group_anchors=(
+                                     self.params.min_group_anchors))
+        if groups.n_groups == 0:
+            return np.zeros((0, FUSED_COLS), np.uint16)
+        fut, _ctx = al._fused_submit(reads, groups, read_max, _pow2,
+                                     lambda qm: band)
+        blk = np.asarray(fut)
+        return blk[:-1]
+
+    def map_reads(self, reads: list[np.ndarray],
+                  read_names: list[str] | None = None,
+                  slice_size: int | None = 2048,
+                  emit_cigars: bool = False) -> AlignList:
+        assert not emit_cigars, "shard_map path is PAF-mode only"
+        if not reads:
+            return AlignList.empty(self.planes.global_seq_names,
+                                   self.meta.assembly_names, read_names or [])
+        step = slice_size or len(reads)
+        parts = []
+        for s in range(0, len(reads), step):
+            parts.append(self._map_slice(reads[s:s + step], s))
+        data = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        order = np.lexsort((data["sequence_from"], data["sequence_id"],
+                            data["read_id"]))
+        return AlignList(data[order], list(self.planes.global_seq_names),
+                         list(self.meta.assembly_names), read_names or [],
+                         None)
+
+    def _map_slice(self, reads, id_base) -> np.ndarray:
+        p = self.params
+        planes = self.planes
+        slice_n = _pow2(len(reads), 256)
+        read_max = _pow2(max(len(r) for r in reads), 256)
+        band = p.band if p.band is not None else (
+            128 if read_max <= 2048 else (256 if read_max <= 8192 else 512))
+        assert read_max + band < 2 ** 15, "fused gate: reads too long"
+        t_max = _pow2(read_max + band, 256)
+        wtot_max, a_max, g_max, out_cap = self._caps(slice_n, read_max)
+
+        packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max,
+                                                 n_rows=slice_n)
+        qlens_a = np.zeros(slice_n, np.int32)
+        qlens_a[:len(reads)] = [len(r) for r in reads]
+        dev = self._device_arrays()
+        rep = NamedSharding(self.mesh, P())
+        args = [jax.device_put(x, rep)
+                for x in (packed2, exc_rid, exc_pos, qlens_a)]
+        blocks = np.asarray(_sharded_fused_dispatch(
+            *dev, *args, mesh=self.mesh, k=planes.k, w=planes.w,
+            max_occ=p.max_occ, min_group_anchors=p.min_group_anchors,
+            gap_break=5000, cap=p.fused_anchor_cap, seq_bits=planes.seq_bits,
+            wtot_max=wtot_max, a_max=a_max, g_max=g_max, out_cap=out_cap,
+            q_max=read_max, t_max=t_max, band=band, match=p.match,
+            mismatch=p.mismatch, gap_open=p.gap_open,
+            gap_extend=p.gap_extend, batch_tile=128, backend=p.backend,
+            min_chain_score=p.min_chain_score,
+            max_per_read=p.max_alignments_per_read,
+            window_pad=p.window_pad))
+
+        shard_rows = []
+        for sh in range(planes.n_shards):
+            rows, counts = blocks[sh, :-1], _unpack_counts_row(blocks[sh, -1])
+            tw, ta, ng, nk = (int(c) for c in counts)
+            if tw > wtot_max or ta > a_max or ng > g_max or nk > out_cap:
+                rows = self._shard_fallback_rows(sh, reads, read_max, band)
+            # keep rows only, with local -> global sequence id remap (rows
+            # widen to int64 here, so global ids are not uint16-bounded)
+            r = rows.astype(np.int64)
+            r = r[r[:, F_KEEP] == 1]
+            r[:, F_SEQ] = planes.seq_global[sh][r[:, F_SEQ]]
+            shard_rows.append(r)
+        arr = np.concatenate(shard_rows) if shard_rows else \
+            np.zeros((0, FUSED_COLS), np.int64)
+
+        # global per-read top-K chain gate over the shard union (each shard
+        # kept its local top-K; the union is a superset of the global top-K
+        # — same merge rule as the reference's index-batch passes)
+        if len(arr):
+            order = np.lexsort((np.arange(len(arr)), -arr[:, F_CHAIN],
+                                arr[:, F_RID]))
+            rid_o = arr[order, F_RID]
+            newrun = np.append(True, rid_o[1:] != rid_o[:-1])
+            run_start = np.maximum.accumulate(
+                np.where(newrun, np.arange(len(order)), 0))
+            rank = np.arange(len(order)) - run_start
+            arr = arr[np.sort(order[rank < p.max_alignments_per_read])]
+
+        al = fused_collect_np(
+            arr, qlens_a, id_base, None, p,
+            self.planes.global_seq_names, self.planes.global_seq_lengths,
+            self.meta)
+        return al.data
+
+
+def _pow2(x, lo=256):
+    b = lo
+    while b < x:
+        b *= 2
+    return b
