@@ -28,6 +28,7 @@ class AMRHit:
     score: int
     contig_idx: int
     drugs: list[str]
+    accession: str = ""
 
 
 def scan_contigs(
@@ -37,7 +38,11 @@ def scan_contigs(
     min_identity: float = 0.90,
     min_coverage: float = 0.60,
     backend: str = "jnp",
+    organism: str | None = None,
 ) -> list[AMRHit]:
+    """organism enables taxon-restricted genes (AMRFinder --taxon gating,
+    reference megapath_nano_amr.py:53-56): a gene carrying a taxon
+    restriction in db.taxa is reported only when organism matches."""
     if not contigs:
         return []
     index = db.index()
@@ -70,9 +75,15 @@ def scan_contigs(
         cov = min(h["cov_bp"] / glen, 1.0) if glen else 0.0
         ident = h["ident_num"] / h["ident_den"] if h["ident_den"] else 0.0
         if ident >= min_identity and cov >= min_coverage:
+            taxon = db.taxa[g] if g < len(db.taxa) else None
+            if taxon and (not organism
+                          or taxon.lower() not in organism.lower()):
+                continue
             out.append(AMRHit(
                 db=db.name, gene=db.gene_names[g], gene_idx=g,
                 identity=ident, gene_coverage=cov, score=h["score"],
-                contig_idx=h["contig"], drugs=db.drugs[g]))
+                contig_idx=h["contig"], drugs=db.drugs[g],
+                accession=db.accessions[g]
+                if g < len(db.accessions) else ""))
     out.sort(key=lambda x: (-x.score, x.gene))
     return out
