@@ -93,17 +93,25 @@ def human_repetitive_bed(
     seq_assembly: np.ndarray,
     *,
     backend: str = "jnp",
+    cache=None,
+    cache_key: str | None = None,
 ) -> np.ndarray:
     """Step 10: regions of target assemblies that the human genome aligns to
-    (asm-level similarity; reference uses asm20 ~ 80% identity floor)."""
-    beds = []
-    for hseq in human_seqs:
-        al = align_genome_to_index(hseq, target_index, min_identity=0.80,
-                                   backend=backend)
-        beds.append(covered_bed(al, seq_assembly))
-    if not beds:
-        return np.zeros(0, BED_DTYPE)
-    return merge_bed(np.concatenate(beds))
+    (asm-level similarity; reference uses asm20 ~ 80% identity floor).
+    With cache + cache_key the stage result is memoized on disk — the
+    reference's `.bed` cache next to each assembly (:1838-1889)."""
+    def compute():
+        beds = []
+        for hseq in human_seqs:
+            al = align_genome_to_index(hseq, target_index,
+                                       min_identity=0.80, backend=backend)
+            beds.append(covered_bed(al, seq_assembly))
+        if not beds:
+            return np.zeros(0, BED_DTYPE)
+        return merge_bed(np.concatenate(beds))
+    if cache is not None and cache_key is not None:
+        return cache.get_or_compute(f"human_rep:{cache_key}@0.80", compute)
+    return compute()
 
 
 def microbe_repetitive_beds(
@@ -114,10 +122,17 @@ def microbe_repetitive_beds(
     seq_assembly_of: dict[int, np.ndarray],
     *,
     backend: str = "jnp",
+    cache=None,
+    name_of: dict[int, str] | None = None,
 ) -> np.ndarray:
     """Step 12: for each (high, low) abundance pair passing the ratio
     ladder, regions of the LOW assembly covered by the HIGH genome at the
-    ladder similarity become noise on the low assembly."""
+    ladder similarity become noise on the low assembly.
+
+    With cache + name_of each (high, low, similarity) pair bed is memoized
+    on disk keyed by assembly NAMES — the reference's `.asmNN.bed` caches
+    (:2087-2092): a rerun skips every pair already aligned at that
+    preset."""
     beds = []
     ids = sorted(abundances, key=lambda a: -abundances[a])
     for hi_pos, high in enumerate(ids):
@@ -136,13 +151,28 @@ def microbe_repetitive_beds(
             if sim is None:
                 continue
             index = target_index_of[low]
-            for hseq in assemblies[high]:
-                al = align_genome_to_index(hseq, index, min_identity=sim,
-                                           backend=backend)
-                if len(al):
-                    bed = covered_bed(al, seq_assembly_of[low])
-                    bed["assembly_id"] = low
-                    beds.append(bed)
+
+            def pair_bed(high=high, low=low, sim=sim, index=index):
+                pbeds = []
+                for hseq in assemblies[high]:
+                    al = align_genome_to_index(
+                        hseq, index, min_identity=sim, backend=backend)
+                    if len(al):
+                        b = covered_bed(al, seq_assembly_of[low])
+                        b["assembly_id"] = low
+                        pbeds.append(b)
+                if not pbeds:
+                    return np.zeros(0, BED_DTYPE)
+                return merge_bed(np.concatenate(pbeds))
+
+            if cache is not None and name_of is not None:
+                key = (f"microbe_rep:{name_of[high]}->" 
+                       f"{name_of[low]}@{sim}")
+                bed = cache.get_or_compute(key, pair_bed)
+            else:
+                bed = pair_bed()
+            if len(bed):
+                beds.append(bed)
     if not beds:
         return np.zeros(0, BED_DTYPE)
     return merge_bed(np.concatenate(beds))
@@ -156,9 +186,17 @@ def variable_region_bed(
     *,
     min_strain_fraction: float = 0.5,
     backend: str = "jnp",
+    cache=None,
+    cache_key: str | None = None,
 ) -> np.ndarray:
     """Step 8: region of the chosen assembly is VARIABLE if fewer than
-    min_strain_fraction of the species' other strains align over it."""
+    min_strain_fraction of the species' other strains align over it.
+    With cache + cache_key the result is memoized on disk (the reference's
+    `.var.bed` cache next to the assembly, :1627-1632)."""
+    if cache is not None and cache_key is not None:
+        hit = cache.get(f"var:{cache_key}")
+        if hit is not None:
+            return hit
     others = [a for a in strain_seqs if a != chosen_assembly]
     if not others:
         return np.zeros(0, BED_DTYPE)
@@ -188,7 +226,10 @@ def variable_region_bed(
     well_bed = np.zeros(len(well), BED_DTYPE)
     for f in BED_DTYPE.names:
         well_bed[f] = well[f]
-    return subtract_bed(full, well_bed)
+    out = subtract_bed(full, well_bed)
+    if cache is not None and cache_key is not None:
+        cache.put(f"var:{cache_key}", out)
+    return out
 
 
 def similar_species_marker(

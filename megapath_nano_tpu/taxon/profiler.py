@@ -91,6 +91,10 @@ class ProfileOptions:
     reassign_ratio: float = 0.05
     reassign_error_rate: float = 0.05
     reassign_as_threshold: float = 0.0
+    # on-disk cache for genome-pair alignment beds (the reference's
+    # .asmNN.bed / .var.bed memoization, megapath_nano.py:1627-1632,
+    # 2087-2092); None disables
+    genome_pair_cache_dir: str | None = None
 
 
 @dataclass
@@ -156,6 +160,10 @@ class TaxonProfiler:
         self.human_db = human_db
         self.decoy_db = decoy_db
         self.log = log or Log("taxon")
+        self._bed_cache = None
+        if self.options.genome_pair_cache_dir:
+            from megapath_nano_tpu.taxon.bed_cache import BedCache
+            self._bed_cache = BedCache(self.options.genome_pair_cache_dir)
 
     def _map_filter_db(self, reads, refdb: RefDB):
         # filter passes consume scores only — never CIGARs
@@ -496,9 +504,12 @@ class TaxonProfiler:
             s0 = int(hidx.seq_offsets[sid])
             s1 = int(hidx.seq_offsets[sid + 1])
             human_seqs.append(hidx.seq_data[s0:s1])
+        key = "+".join(self.human_db.assembly_names) + ":" \
+            + "+".join(self.db.assembly_names)
         return human_repetitive_bed(
             human_seqs, self.db.index, self.db.seq_assembly,
-            backend=self.options.align.backend)
+            backend=self.options.align.backend,
+            cache=self._bed_cache, cache_key=key)
 
     def _microbe_repetitive_bed(self, align_list: AlignList, info):
         """Step 12: abundance-ratio ladder between present assemblies
@@ -524,7 +535,9 @@ class TaxonProfiler:
             sa_of[a] = np.full(len(seqs), a, np.int32)
         bed = microbe_repetitive_beds(
             assemblies, abundances, genus_of, idx_of, sa_of,
-            backend=self.options.align.backend)
+            backend=self.options.align.backend,
+            cache=self._bed_cache,
+            name_of={a: self.db.assembly_names[a] for a in top})
         if len(bed):
             # sequence ids in the per-assembly indexes are local; map back to
             # global sequence ids of the main db
@@ -565,7 +578,11 @@ class TaxonProfiler:
                 chosen_seqs, [f"c{i}" for i in range(len(chosen_seqs))])
             bed = variable_region_bed(
                 strain_seqs, tindex, np.zeros(len(chosen_seqs), np.int32),
-                chosen, backend=self.options.align.backend)
+                chosen, backend=self.options.align.backend,
+                cache=self._bed_cache,
+                cache_key="+".join(sorted(
+                    self.db.assembly_names[a] for a in sibs))
+                + f"->{self.db.assembly_names[chosen]}")
             if len(bed):
                 # map local sequence ids back to global
                 global_ids = np.flatnonzero(self.db.seq_assembly == chosen)
