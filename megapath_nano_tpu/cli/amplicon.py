@@ -111,6 +111,15 @@ def main(argv=None) -> int:
                 m = VariantModel()
                 m.load(path)
                 models.append(m)
+        else:
+            # default: the shipped ensemble (like the reference's bundled
+            # Clair checkpoints, runClair-ensemble.sh --chkpnt_fn); the
+            # AF-threshold caller remains the fallback when absent
+            from megapath_nano_tpu.variant.pretrained import default_ensemble
+
+            models = default_ensemble()
+            if models:
+                log.message(f"using shipped ensemble ({len(models)} models)")
         for sid in np.unique(tres.best.data["sequence_id"]):
             s0 = int(idx.seq_offsets[sid])
             s1 = int(idx.seq_offsets[sid + 1])

@@ -73,6 +73,40 @@ class ShardedIndexPlanes:
     def n_shards(self) -> int:
         return self.keys32.shape[0]
 
+    def save(self, path: str) -> None:
+        """On-disk shard format: one npz of the stacked device planes + a
+        json sidecar (names, k/w). Loading restores a mapper-ready object
+        without re-sketching the reference."""
+        _save_planes(self, path)
+
+    @staticmethod
+    def load(path: str) -> "ShardedIndexPlanes":
+        return _load_planes(path)
+
+    def local_index(self, sh: int) -> MinimizerIndex:
+        """Host MinimizerIndex of shard sh (for the exact overflow
+        fallback); rebuilt from the shard planes when the object was
+        loaded from disk."""
+        if self.local_indexes:
+            return self.local_indexes[sh]
+        if not hasattr(self, "_rebuilt"):
+            self._rebuilt = {}
+        if sh not in self._rebuilt:
+            gids = self.seq_global[sh]
+            seqs, names = [], []
+            for li, g in enumerate(gids):
+                if g < 0:
+                    break
+                s0 = int(self.seq_offsets[sh][li])
+                s1 = s0 + int(self.seq_lengths[sh][li])
+                seqs.append(self.seq_data[sh][s0:s1])
+                names.append(self.global_seq_names[int(g)])
+            if not seqs:
+                seqs, names = [np.zeros(0, np.int8)], ["__empty__"]
+            self._rebuilt[sh] = MinimizerIndex.build(seqs, names, k=self.k,
+                                                     w=self.w)
+        return self._rebuilt[sh]
+
     @staticmethod
     def build(sequences: list[np.ndarray], seq_names: list[str] | None,
               n_shards: int, *, k: int = 15, w: int = 10,
@@ -138,8 +172,7 @@ class ShardedIndexPlanes:
             seq_off[sh, nl + 1:] = np.int32(idx.seq_offsets[-1])
             seq_len[sh, :nl] = idx.seq_lengths.astype(np.int32)
             seq_glob[sh, :len(gids)] = gids
-        shard_of_seq = np.zeros(n, np.int32)
-        shard_of_seq[np.arange(n)] = assign
+        shard_of_seq = assign.copy()
         return ShardedIndexPlanes(
             keys32=keys, pos_t=pos_t, pos_ss=pos_ss, seq_data=seq_data,
             seq_offsets=seq_off, seq_lengths=seq_len, seq_global=seq_glob,
@@ -149,6 +182,44 @@ class ShardedIndexPlanes:
             global_seq_lengths=np.array([len(s) for s in sequences],
                                         np.int64),
             local_indexes=locals_, shard_of_seq=shard_of_seq)
+
+
+def _save_planes(planes: "ShardedIndexPlanes", path: str) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(path, "planes.npz"),
+        keys32=planes.keys32, pos_t=planes.pos_t, pos_ss=planes.pos_ss,
+        seq_data=planes.seq_data, seq_offsets=planes.seq_offsets,
+        seq_lengths=planes.seq_lengths, seq_global=planes.seq_global,
+        global_seq_lengths=planes.global_seq_lengths,
+        shard_of_seq=planes.shard_of_seq)
+    with open(os.path.join(path, "planes.json"), "w") as f:
+        json.dump({"k": planes.k, "w": planes.w,
+                   "seq_bits": planes.seq_bits,
+                   "global_seq_names": planes.global_seq_names}, f)
+
+
+def _load_planes(path: str) -> "ShardedIndexPlanes":
+    import json
+    import os
+
+    z = np.load(os.path.join(path, "planes.npz"))
+    with open(os.path.join(path, "planes.json")) as f:
+        meta = json.load(f)
+    return ShardedIndexPlanes(
+        keys32=z["keys32"], pos_t=z["pos_t"], pos_ss=z["pos_ss"],
+        seq_data=z["seq_data"], seq_offsets=z["seq_offsets"],
+        seq_lengths=z["seq_lengths"], seq_global=z["seq_global"],
+        k=int(meta["k"]), w=int(meta["w"]),
+        seq_bits=int(meta["seq_bits"]),
+        global_seq_names=list(meta["global_seq_names"]),
+        global_seq_lengths=z["global_seq_lengths"],
+        local_indexes=[],            # host fallback indexes not persisted;
+        #                              rebuilt lazily from the shard planes
+        shard_of_seq=z["shard_of_seq"])
 
 
 @functools.partial(
@@ -255,7 +326,7 @@ class ShardMapAligner:
 
         if self._fallback[sh] is None:
             self._fallback[sh] = MinimizerAligner(
-                self.planes.local_indexes[sh], params=self.params)
+                self.planes.local_index(sh), params=self.params)
         al = self._fallback[sh]
         groups = collect_anchors(al.index, reads, max_occ=self.params.max_occ,
                                  min_group_anchors=(
