@@ -64,7 +64,23 @@ def build_parser() -> argparse.ArgumentParser:
     gate("noise_projection", False)
     gate("amplicon_filter_module", False)
     gate("amr", True)
+    gate("assembly_selection", False)   # steps 4-6 (reference :4987)
 
+    p.add_argument("--assembly_db",
+                   help="assembly-ID genome set RefDB (extra candidate "
+                        "assemblies for --assembly_selection)")
+    p.add_argument("--assembly_id_min_average_depth", type=float,
+                   default=0.5)
+    p.add_argument("--good_alignment_threshold", type=int, default=80)
+    p.add_argument("--genome_pair_cache",
+                   help="directory for cached genome-pair filter BEDs "
+                        "(incremental noise-stack reruns)")
+    p.add_argument("--amr_organism",
+                   help="organism name enabling taxon-restricted AMR genes "
+                        "(AMRFinder --taxon equivalent)")
+    p.add_argument("--amr_protein_db",
+                   help="CBMAR-style protein DB directory for the "
+                        "ORF/blastp scan")
     p.add_argument("--min_alignment_length", type=int, default=0)
     p.add_argument("--human_filter_alignment_score", type=int, default=1000)
     p.add_argument("--human_filter_alignment_score_percent", type=float,
@@ -104,6 +120,8 @@ def main(argv=None) -> int:
             db = RefDB.load(args.db)
             human_db = RefDB.load(args.human_db) if args.human_db else None
             decoy_db = RefDB.load(args.decoy_db) if args.decoy_db else None
+            assembly_db = (RefDB.load(args.assembly_db)
+                           if args.assembly_db else None)
         except FileNotFoundError as e:
             print(f"error: database not found: {e.filename}", file=sys.stderr)
             return 2
@@ -177,6 +195,11 @@ def main(argv=None) -> int:
         similar_species_marker=args.similar_species_marker,
         noise_projection=args.noise_projection,
         amplicon_filter_module=args.amplicon_filter_module,
+        assembly_selection=(args.assembly_selection
+                            and assembly_db is not None),
+        assembly_id_min_average_depth=args.assembly_id_min_average_depth,
+        good_align_threshold=args.good_alignment_threshold / 100.0,
+        genome_pair_cache_dir=args.genome_pair_cache,
         align=AlignParams(backend=args.backend),
         # CIGARs are only consumed by the AMR consensus and the .species.sam
         # output; the amplicon filter's downstream variant tooling also needs
@@ -197,7 +220,8 @@ def main(argv=None) -> int:
             params=options.align, k=idx.k, w=idx.w)
         log.message(f"index sharded {args.index_shards} ways")
     profiler = TaxonProfiler(db, options, human_db=human_db,
-                             decoy_db=decoy_db, log=log, aligner=aligner)
+                             decoy_db=decoy_db, log=log, aligner=aligner,
+                             assembly_db=assembly_db)
     result = profiler.profile(reads, names)
 
     prefix = args.output_prefix or os.path.splitext(
@@ -225,8 +249,20 @@ def main(argv=None) -> int:
                 s0 = int(idx.seq_offsets[seq_id])
                 s1 = int(idx.seq_offsets[seq_id + 1])
                 target_seqs[int(seq_id)] = idx.seq_data[s0:s1]
+            protein_db = None
+            if args.amr_protein_db:
+                import json as _json
+
+                from megapath_nano_tpu.amr.protein import ProteinDB
+
+                with open(os.path.join(args.amr_protein_db,
+                                       "proteins.json")) as f:
+                    protein_db = ProteinDB.from_records(
+                        "cbmar", _json.load(f))
             amr_res = run_amr(result.best, reads, target_seqs, dbs,
-                              backend=args.backend)
+                              backend=args.backend,
+                              organism=args.amr_organism,
+                              protein_db=protein_db)
             paths["amr"] = amr_res.write(args.output_folder, prefix)
 
     with open(os.path.join(args.output_folder, f"{prefix}.timing"), "w") as f:

@@ -91,11 +91,18 @@ def test_build_and_run(world):
     assert "AMPICILLIN" in results and "blaX" in results
     assert "CEPHALOTHIN" in results
 
-    read_list = open(out / "demo.read_list").read().splitlines()
+    # read_list now ships inside the per-read archive (reference
+    # .per_read.tar.gz, megapath_nano.py:3345-3360)
+    import tarfile
+
+    with tarfile.open(out / "demo.per_read.tar.gz") as tf:
+        rl_member = [n for n in tf.getnames() if n.endswith("read_list")][0]
+        read_list = tf.extractfile(rl_member).read().decode().splitlines()
     assert len(read_list) == 51  # header + 50 QC-passing reads
-    # the junk read never reached the pipeline: category table shows 50 input
-    read_stat = open(out / "demo.read_stat").read()
-    assert "input\t50" in read_stat
+    # 14-column read_stat: the junk read never reached the pipeline
+    header, vals = open(out / "demo.read_stat").read().strip().split("\n")
+    stat = dict(zip(header.split("\t"), vals.split("\t")))
+    assert stat["total_number_of_read"] == "50"
     assert os.path.exists(out / "demo.timing")
 
 
