@@ -480,19 +480,31 @@ def select_alignments(rid, score, q_from, q_to, seq, strand, t_from, t_to,
     strand = np.asarray(strand)
     score = np.asarray(score)
 
-    keep_idx: list[int] = []
-    mapqs: list[int] = []
-    secondary: list[bool] = []
-
     def _mapq(f1, f2):
         if f1 <= 0:
             return 0
         return int(min(60, 40.0 * max(0.0, 1.0 - f2 / f1)
                        + 0.01 * min(f1, 2000)))
 
+    # vectorized fast path: a read with exactly ONE candidate is primary
+    # with f2 = 0 — the overwhelmingly common case in metagenomic mapping,
+    # so the per-read python loop below only visits multi-candidate reads
+    run_len = np.diff(bounds)
+    if (run_len == 1).all():
+        idx = order[starts].astype(np.int64)
+        f1 = score[idx].astype(np.float64)
+        mq = np.where(f1 <= 0, 0.0,
+                      np.minimum(60.0, 40.0 + 0.01 * np.minimum(f1, 2000)))
+        return idx, mq.astype(np.int64), np.zeros(len(idx), bool)
+
+    single = run_len == 1
+    keep_idx: list[int] = []
+    mapqs: list[int] = []
+    secondary: list[bool] = []
+
     for b in range(len(starts)):
         cand = order[bounds[b]: bounds[b + 1]]
-        if len(cand) == 1:
+        if single[b]:
             i = int(cand[0])
             keep_idx.append(i)
             mapqs.append(_mapq(int(score[i]), 0))
