@@ -133,13 +133,15 @@ class ProfileResult:
 
 
 def _best_as_per_read(align_list: AlignList) -> dict[int, int]:
-    out: dict[int, int] = {}
-    for rid, score in zip(align_list.data["read_id"],
-                          align_list.data["alignment_score"]):
-        r = int(rid)
-        if score > out.get(r, -1):
-            out[r] = int(score)
-    return out
+    d = align_list.data
+    if len(d) == 0:
+        return {}
+    order = np.lexsort((d["alignment_score"], d["read_id"]))
+    dd = d[order]
+    last = np.append(dd["read_id"][1:] != dd["read_id"][:-1], True)
+    rows = dd[last]
+    return {int(r): int(s) for r, s in zip(rows["read_id"],
+                                           rows["alignment_score"])}
 
 
 class TaxonProfiler:
@@ -375,10 +377,15 @@ class TaxonProfiler:
         # the read's human/decoy score (megapath_nano.py:2432-2441)
         if (human_as or decoy_as) and len(align_list):
             d = align_list.data
-            floor = np.zeros(len(d), np.int64)
-            for i, rid in enumerate(d["read_id"]):
-                r = int(rid)
-                floor[i] = max(human_as.get(r, 0), decoy_as.get(r, 0))
+            n_reads_tot = int(d["read_id"].max()) + 1
+            floor_by_read = np.zeros(n_reads_tot, np.int64)
+            for r, s in human_as.items():
+                if r < n_reads_tot:
+                    floor_by_read[r] = s
+            for r, s in decoy_as.items():
+                if r < n_reads_tot:
+                    floor_by_read[r] = max(floor_by_read[r], s)
+            floor = floor_by_read[d["read_id"]]
             align_list = align_list.filter(d["alignment_score"] >= floor)
 
         # step 15: closing spike filter — removes whole READS whose best
@@ -408,25 +415,46 @@ class TaxonProfiler:
         with log.step("best_alignment"):
             best = best_align_list(align_list, info, noise_bed)
 
-        # step 19: unique alignment (optional)
+        # step 19: unique alignment (optional) — vectorized top-2 per read
+        # over per-(read, assembly) best scores (megapath_nano.py:2561-2590)
         unique_ids = None
         if opt.unique_alignment and len(best):
-            uniq = []
-            as_by_read: dict[int, list] = {}
-            for row in align_list.data:
-                as_by_read.setdefault(int(row["read_id"]), []).append(
-                    (int(row["alignment_score"]), int(row["assembly_id"])))
-            for row in best.data:
-                rid = int(row["read_id"])
-                best_as = int(row["alignment_score"])
-                others = [s for s, a in as_by_read.get(rid, [])
-                          if a != int(row["assembly_id"])]
-                others.append(human_as.get(rid, 0))
-                others.append(decoy_as.get(rid, 0))
-                second = max(others) if others else 0
-                if best_as * opt.unique_as_ratio > second:
-                    uniq.append(rid)
-            unique_ids = np.array(uniq, np.int64)
+            d = align_list.data
+            o = np.lexsort((-d["alignment_score"], d["assembly_id"],
+                            d["read_id"]))
+            dd = d[o]
+            firstpa = np.append(True, (dd["read_id"][1:] != dd["read_id"][:-1])
+                                | (dd["assembly_id"][1:]
+                                   != dd["assembly_id"][:-1]))
+            pa = dd[firstpa]                    # per-(read, asm) best
+            o2 = np.lexsort((-pa["alignment_score"], pa["read_id"]))
+            ps = pa[o2]
+            newr = np.append(True, ps["read_id"][1:] != ps["read_id"][:-1])
+            starts = np.flatnonzero(newr)
+            runlen = np.diff(np.append(starts, len(ps)))
+            top1_s = ps["alignment_score"][starts].astype(np.int64)
+            top1_a = ps["assembly_id"][starts].astype(np.int64)
+            top2_s = np.where(runlen > 1, ps["alignment_score"][
+                np.minimum(starts + 1, len(ps) - 1)], 0).astype(np.int64)
+            read_keys = ps["read_id"][starts].astype(np.int64)
+            bd = best.data
+            rids_b = bd["read_id"].astype(np.int64)
+            best_s = bd["alignment_score"].astype(np.int64)
+            best_a = bd["assembly_id"].astype(np.int64)
+            pos = np.searchsorted(read_keys, rids_b)
+            second = np.where(top1_a[pos] == best_a, top2_s[pos],
+                              top1_s[pos])
+            if human_as or decoy_as:
+                n_tot = int(rids_b.max()) + 1
+                hd_floor = np.zeros(n_tot, np.int64)
+                for r, s in human_as.items():
+                    if r < n_tot:
+                        hd_floor[r] = s
+                for r, s in decoy_as.items():
+                    if r < n_tot:
+                        hd_floor[r] = max(hd_floor[r], s)
+                second = np.maximum(second, hd_floor[rids_b])
+            unique_ids = rids_b[best_s * opt.unique_as_ratio > second]
 
         with log.step("statistics"):
             stat = align_stat_by_assembly(best, info, noise_bed)
@@ -832,19 +860,41 @@ class TaxonProfiler:
                 overlap_fraction=self.options.noise_overlap_fraction)
             with open(os.path.join(ntmp, f"{prefix}.noise_stat"),
                       "w") as f:
+                from megapath_nano_tpu.taxon.intervals import \
+                    covered_bp_by_assembly
                 sources = ["spike", "human_repetitive",
                            "microbe_repetitive", "closing_spike",
                            "variable_region", "noise", "short", "all"]
+                # step 22 span columns: per-source noise span bp on each
+                # assembly + total span percent (megapath_nano.py:2944-3008)
+                span_by = {s: covered_bp_by_assembly(b)
+                           for s, b in result.noise_sources.items()}
+                total_span = covered_bp_by_assembly(result.noise_bed) \
+                    if result.noise_bed is not None else {}
+                asm_len = {int(r["assembly_id"]): int(r["assembly_length"])
+                           for r in result.stat}
+                if result.raw_stat is not None:
+                    for r in result.raw_stat:
+                        asm_len.setdefault(int(r["assembly_id"]),
+                                           int(r["assembly_length"]))
                 f.write("assembly_id\t" + "\t".join(
                     f"{s}_{c}" for s in sources
                     for c in ("read_count", "read_bp", "aligned_bp"))
-                    + "\n")
+                    + "\t" + "\t".join(f"{s}_span_bp"
+                                         for s in result.noise_sources)
+                    + "\tnoise_span_bp\tnoise_span_percent\n")
                 for aid in sorted(table):
                     name = asm_names[aid] if aid < len(asm_names) \
                         else str(aid)
                     row = [name]
                     for s in sources:
                         row += [str(v) for v in table[aid].get(s, (0, 0, 0))]
+                    for s in result.noise_sources:
+                        row.append(str(span_by[s].get(aid, 0)))
+                    span = total_span.get(aid, 0)
+                    length = asm_len.get(aid, 0)
+                    row.append(str(span))
+                    row.append(f"{span / length:.6f}" if length else "0")
                     f.write("\t".join(row) + "\n")
             noise_best = result.pre_noise_best.filter(all_mask)
             rows = noise_source_stats(

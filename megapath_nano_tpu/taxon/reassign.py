@@ -123,10 +123,12 @@ def reassign(
 
     sp_of_row = np.searchsorted(species, data["species_tax_id"])
     new_species = data["species_tax_id"].copy()
-    for r in range(len(data)):
+    # only rows of EXPLAINED species can be relabeled — restrict the loop
+    # to them (typically a small minority of alignments)
+    explained_mask = np.isin(sp_of_row,
+                             np.array(list(explained_by), np.int64))
+    for r in np.flatnonzero(explained_mask):
         j = int(sp_of_row[r])
-        if j not in explained_by:
-            continue
         rid = int(data["read_id"][r])
         as_j = int(data["alignment_score"][r])
         best_i = None
