@@ -75,19 +75,29 @@ def _gather_queries(codes, rid, qlens, qs, wlen, strand, *, q_max):
     """Build oriented query windows on device from the unpacked (n, read_max)
     code matrix. Row r of the result is
     (revcomp(read) if strand else read)[qs : qs+wlen] padded with 4 — the
-    reads cross the host↔device link 2-bit packed, once per slice."""
+    reads cross the host↔device link 2-bit packed, once per slice.
+
+    Structured as row-gather + static flip + per-row dynamic_slice: a general
+    2D gather of (G, q_max) elements lowers to scalar loads (~45 ms at
+    G=4096 on v5e), while this decomposition is ~5x cheaper — the only
+    data-dependent step left is the vmapped aligned slice."""
     import jax.numpy as jnp
 
+    L = codes.shape[1]
+    rows = codes[rid]                               # (G, L) row gather
+    ql = qlens[rid]
+    # reverse-complement rows: read occupies [L - ql, L) after the flip
+    rc = jnp.where(rows < 4, 3 - rows, rows)[:, ::-1]
+    minus = strand == 1
+    base = jnp.where(minus[:, None], rc, rows)
+    start = qs + jnp.where(minus, L - ql, 0)
+    basep = jnp.pad(base, ((0, 0), (0, q_max)), constant_values=4)
+    win = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (q_max,)))(
+            basep, start.astype(jnp.int32))
     cols = jnp.arange(q_max, dtype=jnp.int32)[None, :]
-    ql = qlens[rid][:, None]
-    pos = qs[:, None] + cols
-    minus = (strand[:, None] == 1)
-    src = jnp.where(minus, ql - 1 - pos, pos)
-    valid = (cols < wlen[:, None]) & (src >= 0) & (src < ql)
-    srcc = jnp.clip(src, 0, codes.shape[1] - 1)
-    code = codes[rid[:, None], srcc].astype(jnp.int32)
-    code = jnp.where(minus & (code < 4), 3 - code, code)
-    return jnp.where(valid, code, 4).astype(jnp.int8)
+    valid = (cols < wlen[:, None]) & (cols < (ql - qs)[:, None])
+    return jnp.where(valid, win, 4).astype(jnp.int8)
 
 
 def _pack_reads2(reads: list[np.ndarray], read_max: int,
@@ -126,7 +136,8 @@ def _pack_reads2(reads: list[np.ndarray], read_max: int,
 def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
                 seq_data, seq_offsets, seq_lengths, *, k, q_max, t_max, band,
                 match, mismatch, gap_open, gap_extend, batch_tile, backend,
-                min_chain_score, max_per_read, window_pad):
+                min_chain_score, max_per_read, window_pad,
+                ext_cap: int | None = None):
     """Shared device tail of the fused map step: chain DP → per-read top-K
     gate → extension-window algebra → query/target gathers → full-stats
     banded extension. Used by both the host-seeded dispatch (anchors uploaded
@@ -166,6 +177,20 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
                                          jnp.where(newrun, ar, 0))
     rank = jnp.zeros(G, jnp.int32).at[order].set(ar - run_start)
     keep = (best >= min_chain_score) & (rank < max_per_read) & (cnt > 0)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+
+    if ext_cap is not None:
+        # post-chain compaction (device-seeded path): the expensive stages —
+        # window gathers + banded extension — run only on the kept rows,
+        # compacted to ext_cap (stable, so group order survives). n_keep >
+        # ext_cap is reported via the counts row and triggers the exact
+        # host-seeded fallback; chain ran at the full padded G above.
+        corder = jnp.argsort(~keep, stable=True)[:ext_cap]
+        (best, q_min, q_maxx, t_min, t_maxx, rid, seqid, strand, t_base,
+         cnt, keep) = (x[corder] for x in
+                       (best, q_min, q_maxx, t_min, t_maxx, rid, seqid,
+                        strand, t_base, cnt, keep))
+        G = ext_cap
 
     # extension-window algebra (the host recs loop, vectorized)
     qlen_g = qlens[rid]
@@ -202,7 +227,6 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
                        jnp.clip(best, 0, (1 << 15) - 1), zero],
                       axis=1)
     out = jnp.concatenate([full, extra], axis=1).astype(jnp.uint16)
-    n_keep = jnp.sum(keep.astype(jnp.int32))
     return out, n_keep
 
 
@@ -277,25 +301,28 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "w", "max_occ", "min_group_anchors", "gap_break",
-                     "cap", "seq_bits", "wtot_max", "a_max", "g_max",
+                     "cap", "seq_bits", "lut_bits", "n_bisect", "wtot_max",
+                     "a_max", "g_max",
                      "out_cap", "q_max", "t_max", "band", "match", "mismatch",
                      "gap_open", "gap_extend", "batch_tile", "backend",
                      "min_chain_score", "max_per_read", "window_pad"))
 def _fused_map_dispatch_devseed(packed2, exc_rid, exc_pos, qlens, keys32,
-                                pos_t, pos_ss, seq_data, seq_offsets,
+                                pos_t, pos_ss, lut, seq_data, seq_offsets,
                                 seq_lengths, *, k, w, max_occ,
                                 min_group_anchors, gap_break, cap, seq_bits,
+                                lut_bits, n_bisect,
                                 wtot_max, a_max, g_max, out_cap, q_max,
                                 t_max, band, match, mismatch, gap_open,
                                 gap_extend, batch_tile, backend,
                                 min_chain_score, max_per_read, window_pad):
     """Device-seeded fused map step: ONLY the 2-bit packed reads cross the
     host↔device link. Sketching, hash lookup (device-resident sorted index
-    planes), anchor grouping, chaining, top-K, and extension all run in one
-    dispatch (align/device_seed.py does the seed stage). Kept rows are
-    compacted to the front (stable) and only out_cap rows ship back — on this
-    link the device→host fetch is the binding cost, so the download carries
-    ~2 rows/read instead of one row per candidate group.
+    planes + bucket LUT), anchor grouping, chaining, top-K, and extension all
+    run in one dispatch (align/device_seed.py does the seed stage). The
+    chain's keep set is compacted to out_cap rows BEFORE the banded
+    extension (_fused_tail ext_cap), so the expensive stages run at ~1-2
+    rows/read instead of one row per candidate group — and the same out_cap
+    rows are all that ships back over the link.
 
     Returns (out_cap+1, FUSED_COLS) uint16: compacted _fused_tail rows + a
     counts row [tot_winners, tot_anchors, n_groups_kept, n_keep]. The host
@@ -309,21 +336,19 @@ def _fused_map_dispatch_devseed(packed2, exc_rid, exc_pos, qlens, keys32,
 
     codes = _unpack_reads(packed2, exc_rid, exc_pos)
     qg, tg, cnt, rid, seqid, strand, t_base, dcounts = build_groups_device(
-        codes, qlens, keys32, pos_t, pos_ss, k=k, w=w, max_occ=max_occ,
+        codes, qlens, keys32, pos_t, pos_ss, lut, k=k, w=w, max_occ=max_occ,
         min_group_anchors=min_group_anchors, gap_break=gap_break, cap=cap,
-        seq_bits=seq_bits, wtot_max=wtot_max, a_max=a_max, g_max=g_max)
+        seq_bits=seq_bits, lut_bits=lut_bits, n_bisect=n_bisect,
+        wtot_max=wtot_max, a_max=a_max, g_max=g_max)
     out, n_keep = _fused_tail(
         codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
         seq_data, seq_offsets, seq_lengths, k=k, q_max=q_max, t_max=t_max,
         band=band, match=match, mismatch=mismatch, gap_open=gap_open,
         gap_extend=gap_extend, batch_tile=batch_tile, backend=backend,
         min_chain_score=min_chain_score, max_per_read=max_per_read,
-        window_pad=window_pad)
-    # stable keep-first compaction; G = g_max >= out_cap by construction
-    corder = jnp.argsort(out[:, F_KEEP] == 0, stable=True)
-    out_c = out[corder[:out_cap]]
+        window_pad=window_pad, ext_cap=out_cap)
     counts = jnp.concatenate([dcounts, n_keep[None]])
-    return jnp.concatenate([out_c, _pack_counts_row(counts)], axis=0)
+    return jnp.concatenate([out, _pack_counts_row(counts)], axis=0)
 
 from megapath_nano_tpu.align.anchors import (collect_anchors, pack_groups,
                                              pack_groups_flat)
@@ -364,14 +389,14 @@ class AlignParams:
     backend: str = "pallas"
     tiebreaker_seed: int = 0
     fused: bool = True   # PAF mode: single-dispatch map step
-    device_seed: bool = False   # PAF mode: seed on device (only packed reads
+    device_seed: bool = True    # PAF mode: seed on device (only packed reads
     #                             cross the link); falls back per slice when a
     #                             static cap overflows (counts row).
-    #                             DEFAULT OFF: measured 2.8k reads/s vs 10.5k
-    #                             for the host-seeded path on the bench shape
-    #                             (the integrated dispatch pays g_max-padded
-    #                             tail + 512Ki-slot sorts; see docs/PERF.md) —
-    #                             opt-in until it beats host seeding.
+    #                             DEFAULT ON since round 4: beats the
+    #                             host-seeded path (10.0k vs 7.3k reads/s on
+    #                             the bench shape) after the scatter/LUT seed
+    #                             rewrite + post-chain compaction, and leaves
+    #                             the host CPU free; see docs/PERF.md.
     devseed_out_per_read: int = 2   # out_cap = next_pow2(this * slice_n)
 
 
@@ -684,8 +709,10 @@ class MinimizerAligner:
         """Device-resident index planes for the device-seeded path:
         keys32 (sorted int32 hash table — valid because k <= 15 masks hashes
         to 30 bits), pos_t (within-sequence k-mer end positions, int32),
-        pos_ss (seq_id << 1 | strand, int32). Uploaded once, reused by every
-        slice (lazy)."""
+        pos_ss (seq_id << 1 | strand, int32), plus the bucket LUT that
+        replaces whole-table searchsorted on device (lut[b] = first table
+        index with key >> shift >= b) and its static (lut_bits, n_bisect).
+        Uploaded once, reused by every slice (lazy)."""
         import jax
 
         if getattr(self, "_planes_dev", None) is None:
@@ -694,11 +721,19 @@ class MinimizerAligner:
             seq_id, pos, strand = idx.unpack(idx.positions)
             keys32 = idx.keys.astype(np.int64)
             assert keys32.size == 0 or keys32.max() < 2 ** 30
+            lut_bits = min(20, 2 * idx.k)
+            shift = 2 * idx.k - lut_bits
+            bounds = (np.arange((1 << lut_bits) + 1, dtype=np.int64)
+                      << shift)
+            lut = np.searchsorted(keys32, bounds).astype(np.int32)
+            max_bucket = int(np.diff(lut).max()) if len(keys32) else 0
+            n_bisect = max(1, max_bucket.bit_length())
             self._planes_dev = (
                 jax.device_put(keys32.astype(np.int32)),
                 jax.device_put(pos.astype(np.int32)),
                 jax.device_put(((seq_id.astype(np.int32) << 1)
-                                | strand).astype(np.int32)))
+                                | strand).astype(np.int32)),
+                jax.device_put(lut), lut_bits, n_bisect)
         return self._planes_dev
 
     def _devseed_ok(self, slice_n: int) -> bool:
@@ -720,7 +755,10 @@ class MinimizerAligner:
         ONT batches never overflow: minimizer density is ~2/(w+1) ≈ 0.18 per
         base (w=10), so n*L/4 winner slots leave ~40% headroom; anchor slots
         assume ~1 hit/winner on non-repetitive indexes (the counts row
-        triggers the exact host-seeded fallback when wrong)."""
+        triggers the exact host-seeded fallback when wrong). g_max bounds the
+        CHAIN stage only (the extension runs at out_cap after the post-chain
+        compaction), so 2 candidate groups per read is the padding, not the
+        budget."""
         def pow2(x, lo=4096):
             b = lo
             while b < x:
@@ -728,8 +766,11 @@ class MinimizerAligner:
             return b
 
         wtot_max = pow2(slice_n * read_max // 4)
-        a_max = wtot_max
-        g_max = pow2(4 * slice_n)
+        a_max = wtot_max // 2   # ~1 hit / 2.7 winners measured on ONT reads;
+        #                         every 512Ki-wide op costs ~4 ms on v5e, so
+        #                         the anchor plane width is the seed stage's
+        #                         main cost — overflow falls back exactly
+        g_max = pow2(2 * slice_n)
         return wtot_max, a_max, g_max
 
     def _finish_fused(self, reads, read_names, id_base, groups, read_max,
@@ -779,7 +820,8 @@ class MinimizerAligner:
         if self._seq_data_dev is None:
             self._device_refs(np.zeros(1, np.int32), 256)
         seq_off_dev, seq_len_dev = self._device_index_meta()
-        keys32, pos_t, pos_ss = self._device_index_planes()
+        keys32, pos_t, pos_ss, lut, lut_bits, n_bisect = \
+            self._device_index_planes()
 
         packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max,
                                                  n_rows=slice_n)
@@ -787,7 +829,7 @@ class MinimizerAligner:
         qlens_a[:len(reads)] = [len(r) for r in reads]
 
         wtot_max, a_max, g_max = self._devseed_caps(slice_n, read_max)
-        out_cap = 4096
+        out_cap = 2048
         while out_cap < p.devseed_out_per_read * slice_n:
             out_cap *= 2
         out_cap = min(out_cap, g_max)
@@ -795,11 +837,12 @@ class MinimizerAligner:
         band = _band_for(q_max)
         t_max = _bucket(q_max + band)
         fut = _fused_map_dispatch_devseed(
-            packed2, exc_rid, exc_pos, qlens_a, keys32, pos_t, pos_ss,
+            packed2, exc_rid, exc_pos, qlens_a, keys32, pos_t, pos_ss, lut,
             self._seq_data_dev, seq_off_dev, seq_len_dev,
             k=idx.k, w=idx.w, max_occ=p.max_occ,
             min_group_anchors=p.min_group_anchors, gap_break=5000,
             cap=p.fused_anchor_cap, seq_bits=self._seq_bits(),
+            lut_bits=lut_bits, n_bisect=n_bisect,
             wtot_max=wtot_max, a_max=a_max, g_max=g_max, out_cap=out_cap,
             q_max=q_max, t_max=t_max, band=band, match=p.match,
             mismatch=p.mismatch, gap_open=p.gap_open,

@@ -225,15 +225,17 @@ def _load_planes(path: str) -> "ShardedIndexPlanes":
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "w", "max_occ", "min_group_anchors",
-                     "gap_break", "cap", "seq_bits", "wtot_max", "a_max",
+                     "gap_break", "cap", "seq_bits", "lut_bits", "n_bisect",
+                     "wtot_max", "a_max",
                      "g_max", "out_cap", "q_max", "t_max", "band", "match",
                      "mismatch", "gap_open", "gap_extend", "batch_tile",
                      "backend", "min_chain_score", "max_per_read",
                      "window_pad"))
-def _sharded_fused_dispatch(keys32, pos_t, pos_ss, seq_data, seq_off,
+def _sharded_fused_dispatch(keys32, pos_t, pos_ss, lut, seq_data, seq_off,
                             seq_len, packed2, exc_rid, exc_pos, qlens, *,
                             mesh, k, w, max_occ, min_group_anchors,
-                            gap_break, cap, seq_bits, wtot_max, a_max,
+                            gap_break, cap, seq_bits, lut_bits, n_bisect,
+                            wtot_max, a_max,
                             g_max, out_cap, q_max, t_max, band, match,
                             mismatch, gap_open, gap_extend, batch_tile,
                             backend, min_chain_score, max_per_read,
@@ -243,14 +245,16 @@ def _sharded_fused_dispatch(keys32, pos_t, pos_ss, seq_data, seq_off,
     out_cap compacted stats rows + a counts row per shard."""
     from megapath_nano_tpu.align.device_seed import build_groups_device
 
-    def local_step(keys32, pos_t, pos_ss, seq_data, seq_off, seq_len,
+    def local_step(keys32, pos_t, pos_ss, lut, seq_data, seq_off, seq_len,
                    packed2, exc_rid, exc_pos, qlens):
         codes = _unpack_reads(packed2, exc_rid, exc_pos)
         qg, tg, cnt, rid, seqid, strand, t_base, dcounts = \
             build_groups_device(
-                codes, qlens, keys32[0], pos_t[0], pos_ss[0], k=k, w=w,
+                codes, qlens, keys32[0], pos_t[0], pos_ss[0], lut[0],
+                k=k, w=w,
                 max_occ=max_occ, min_group_anchors=min_group_anchors,
                 gap_break=gap_break, cap=cap, seq_bits=seq_bits,
+                lut_bits=lut_bits, n_bisect=n_bisect,
                 wtot_max=wtot_max, a_max=a_max, g_max=g_max)
         out, n_keep = _fused_tail(
             codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
@@ -259,11 +263,9 @@ def _sharded_fused_dispatch(keys32, pos_t, pos_ss, seq_data, seq_off,
             gap_open=gap_open, gap_extend=gap_extend,
             batch_tile=batch_tile, backend=backend,
             min_chain_score=min_chain_score, max_per_read=max_per_read,
-            window_pad=window_pad)
-        corder = jnp.argsort(out[:, F_KEEP] == 0, stable=True)
-        out_c = out[corder[:out_cap]]
+            window_pad=window_pad, ext_cap=out_cap)
         counts = jnp.concatenate([dcounts, n_keep[None]])
-        rows = jnp.concatenate([out_c, _pack_counts_row(counts)], axis=0)
+        rows = jnp.concatenate([out, _pack_counts_row(counts)], axis=0)
         # ICI merge: every device ends with all shards' row blocks
         return jax.lax.all_gather(rows, "shard")
 
@@ -271,10 +273,11 @@ def _sharded_fused_dispatch(keys32, pos_t, pos_ss, seq_data, seq_off,
         local_step, mesh=mesh,
         in_specs=(P("shard", None), P("shard", None), P("shard", None),
                   P("shard", None), P("shard", None), P("shard", None),
+                  P("shard", None),
                   P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
-    )(keys32, pos_t, pos_ss, seq_data, seq_off, seq_len,
+    )(keys32, pos_t, pos_ss, lut, seq_data, seq_off, seq_len,
       packed2, exc_rid, exc_pos, qlens)
 
 
@@ -299,9 +302,22 @@ class ShardMapAligner:
         if self._dev is None:
             sh = NamedSharding(self.mesh, P("shard", None))
             p = self.planes
+            # per-shard bucket LUT + bisect depth (see
+            # MinimizerAligner._device_index_planes); shards share one
+            # executable, so n_bisect is the max over shards (extra rounds
+            # are no-ops once the bisection range is empty)
+            lut_bits = min(20, 2 * p.k)
+            shift = 2 * p.k - lut_bits
+            bounds = (np.arange((1 << lut_bits) + 1, dtype=np.int64)
+                      << shift)
+            luts = np.stack([
+                np.searchsorted(p.keys32[s].astype(np.int64), bounds)
+                .astype(np.int32) for s in range(p.n_shards)])
+            max_bucket = int(np.diff(luts, axis=1).max()) if luts.size else 0
+            self._lut_meta = (lut_bits, max(1, max_bucket.bit_length()))
             self._dev = tuple(
                 jax.device_put(a, sh)
-                for a in (p.keys32, p.pos_t, p.pos_ss, p.seq_data,
+                for a in (p.keys32, p.pos_t, p.pos_ss, luts, p.seq_data,
                           p.seq_offsets, p.seq_lengths))
         return self._dev
 
@@ -312,11 +328,11 @@ class ShardMapAligner:
                 b *= 2
             return b
         wtot_max = pow2(slice_n * read_max // 4)
-        g_max = pow2(4 * slice_n)
-        out_cap = 4096
+        g_max = pow2(2 * slice_n)
+        out_cap = 2048
         while out_cap < self.params.devseed_out_per_read * slice_n:
             out_cap *= 2
-        return wtot_max, wtot_max, g_max, min(out_cap, g_max)
+        return wtot_max, wtot_max // 2, g_max, min(out_cap, g_max)
 
     def _shard_fallback_rows(self, sh: int, reads, read_max, band):
         """Exact host-seeded dispatch against shard sh's local index —
@@ -376,10 +392,12 @@ class ShardMapAligner:
         rep = NamedSharding(self.mesh, P())
         args = [jax.device_put(x, rep)
                 for x in (packed2, exc_rid, exc_pos, qlens_a)]
+        lut_bits, n_bisect = self._lut_meta
         blocks = np.asarray(_sharded_fused_dispatch(
             *dev, *args, mesh=self.mesh, k=planes.k, w=planes.w,
             max_occ=p.max_occ, min_group_anchors=p.min_group_anchors,
             gap_break=5000, cap=p.fused_anchor_cap, seq_bits=planes.seq_bits,
+            lut_bits=lut_bits, n_bisect=n_bisect,
             wtot_max=wtot_max, a_max=a_max, g_max=g_max, out_cap=out_cap,
             q_max=read_max, t_max=t_max, band=band, match=p.match,
             mismatch=p.mismatch, gap_open=p.gap_open,

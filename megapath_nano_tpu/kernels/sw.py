@@ -75,7 +75,7 @@ def _row_step_factory(*, band, match, mismatch, gap_open, gap_extend,
     and the pure-jnp fallback/testing backend."""
 
     def row_step(i, carry, read_col, ref_slice, rlen):
-        h_prev, e_prev, best, best_i, best_k = carry
+        h_prev, e_prev, best_v, best_i_v = carry
         bt = h_prev.shape[0]
 
         is_ambig = jnp.logical_or(read_col == 4, ref_slice >= 4)
@@ -107,18 +107,40 @@ def _row_step_factory(*, band, match, mismatch, gap_open, gap_extend,
         h = jnp.where(active, h, h_prev)
         e = jnp.where(active, jnp.maximum(e, 0), e_prev)
 
-        row_max = jnp.max(h, axis=1, keepdims=True)               # (BT,1)
-        improved = jnp.logical_and(row_max > best, active)
-        # min-k argmax (ties → smallest ref position, SSW-like)
-        is_max = h == row_max
-        k_of_max = jnp.min(jnp.where(is_max, lane, band), axis=1,
-                           keepdims=True)
-        best = jnp.where(improved, row_max, best)
-        best_i = jnp.where(improved, i, best_i)
-        best_k = jnp.where(improved, k_of_max, best_k)
-        return h, e, best, best_i, best_k
+        # per-lane running best (no cross-lane reduction inside the loop;
+        # _reduce_best recovers the global (max score, min i, min k) rule)
+        improved = jnp.logical_and(h > best_v, active)
+        best_v = jnp.where(improved, h, best_v)
+        best_i_v = jnp.where(improved, i, best_i_v)
+        return h, e, best_v, best_i_v
 
     return row_step
+
+
+def _reduce_best(best_v, best_i_v, band, extra=()):
+    """Final cross-lane reduction of per-lane running bests: global best =
+    max score, ties → smallest read row i, ties → smallest lane k (the same
+    (earliest row, smallest ref position) rule the per-step reduction
+    enforced; per-lane tracking keeps, for each lane, the earliest row
+    achieving that lane's max, so the lexicographic reduction is exact).
+    Returns (best, best_i, best_k, *extra_at_best) as (BT, 1) columns."""
+    bt = best_v.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, band), dimension=1)
+    big = jnp.int32(2 ** 30)
+    best = jnp.max(best_v, axis=1, keepdims=True)
+    at_s = best_v == best
+    best_i = jnp.min(jnp.where(at_s, best_i_v, big), axis=1, keepdims=True)
+    at_si = jnp.logical_and(at_s, best_i_v == best_i)
+    best_k = jnp.min(jnp.where(at_si, lane, band), axis=1, keepdims=True)
+    at_k = lane == best_k
+    outs = tuple(jnp.sum(jnp.where(at_k, x, 0), axis=1, keepdims=True)
+                 for x in extra)
+    # all-zero state (no positive cell): report (0, 0, 0)
+    none = best <= 0
+    best = jnp.where(none, 0, best)
+    best_i = jnp.where(none, 0, best_i)
+    best_k = jnp.where(none, 0, best_k)
+    return (best, best_i, best_k) + outs
 
 
 def _row_step_full_factory(*, band, match, mismatch, gap_open, gap_extend,
@@ -141,7 +163,7 @@ def _row_step_full_factory(*, band, match, mismatch, gap_open, gap_extend,
 
     def row_step(i, carry, read_col, ref_slice, rlen):
         (h_prev, e_prev, p_h, b_h, p_e, b_e,
-         best, best_i, best_k, best_p, best_b) = carry
+         best_v, best_i_v, best_p_v, best_b_v) = carry
         bt = h_prev.shape[0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (bt, band), dimension=1)
 
@@ -222,30 +244,23 @@ def _row_step_full_factory(*, band, match, mismatch, gap_open, gap_extend,
         p_e_new = jnp.where(active, p_e_new, p_e)
         b_e_new = jnp.where(active, b_e_new, b_e)
 
-        row_max = jnp.max(h, axis=1, keepdims=True)
-        improved = jnp.logical_and(row_max > best, active)
-        is_max = h == row_max
-        k_of_max = jnp.min(jnp.where(is_max, lane, band), axis=1,
-                           keepdims=True)
-        at_k = lane == k_of_max
-        p_at = jnp.sum(jnp.where(at_k, p_h_new, 0), axis=1, keepdims=True)
-        b_at = jnp.sum(jnp.where(at_k, b_h_new, 0), axis=1, keepdims=True)
-        best = jnp.where(improved, row_max, best)
-        best_i = jnp.where(improved, i, best_i)
-        best_k = jnp.where(improved, k_of_max, best_k)
-        best_p = jnp.where(improved, p_at, best_p)
-        best_b = jnp.where(improved, b_at, best_b)
+        # per-lane running best (one final cross-lane reduction recovers the
+        # (max score, min i, min k) rule — see _reduce_best)
+        improved = jnp.logical_and(h > best_v, active)
+        best_v = jnp.where(improved, h, best_v)
+        best_i_v = jnp.where(improved, i, best_i_v)
+        best_p_v = jnp.where(improved, p_h_new, best_p_v)
+        best_b_v = jnp.where(improved, b_h_new, best_b_v)
         return (h, e_row, p_h_new, b_h_new, p_e_new, b_e_new,
-                best, best_i, best_k, best_p, best_b)
+                best_v, best_i_v, best_p_v, best_b_v)
 
     return row_step
 
 
 def _full_init(bt, band):
     zeros = jnp.zeros((bt, band), jnp.int32)
-    col = jnp.zeros((bt, 1), jnp.int32)
     return (zeros, zeros, zeros, zeros, zeros, zeros,
-            col, col, col, col, col)
+            zeros, zeros, zeros, zeros)
 
 
 def _full_outputs(best, best_i, best_k, best_p, best_b, band):
@@ -278,7 +293,9 @@ def _sw_kernel_full(reads_ref, rlens_ref, refs_ref, tlens_ref, out_ref,
         return step(i, carry, read_col, ref_slice, rlen)
 
     carry = jax.lax.fori_loop(0, q_max, row_step, _full_init(bt, band))
-    best, best_i, best_k, best_p, best_b = carry[6:]
+    best_v, best_i_v, best_p_v, best_b_v = carry[6:]
+    best, best_i, best_k, best_p, best_b = _reduce_best(
+        best_v, best_i_v, band, extra=(best_p_v, best_b_v))
     s, ei, ej, nm_, ne_, bi, bj = _full_outputs(best, best_i, best_k,
                                                 best_p, best_b, band)
     out_ref[:, 0:1] = s
@@ -306,7 +323,9 @@ def _sw_jnp_full(reads, read_lens, refs_padded, *, band, q_max,
 
     carry, _ = jax.lax.scan(scan_body, _full_init(n, band),
                             jnp.arange(q_max, dtype=jnp.int32))
-    best, best_i, best_k, best_p, best_b = carry[6:]
+    best_v, best_i_v, best_p_v, best_b_v = carry[6:]
+    best, best_i, best_k, best_p, best_b = _reduce_best(
+        best_v, best_i_v, band, extra=(best_p_v, best_b_v))
     outs = _full_outputs(best, best_i, best_k, best_p, best_b, band)
     return jnp.concatenate([o for o in outs], axis=1)
 
@@ -428,9 +447,9 @@ def _sw_kernel(reads_ref, rlens_ref, refs_ref, tlens_ref, out_ref,
         return step(i, carry, read_col, ref_slice, rlen)
 
     zeros = jnp.zeros((bt, band), jnp.int32)
-    init = (zeros, zeros, jnp.zeros((bt, 1), jnp.int32),
-            jnp.zeros((bt, 1), jnp.int32), jnp.zeros((bt, 1), jnp.int32))
-    h, e, best, best_i, best_k = jax.lax.fori_loop(0, q_max, row_step, init)
+    init = (zeros, zeros, zeros, zeros)
+    h, e, best_v, best_i_v = jax.lax.fori_loop(0, q_max, row_step, init)
+    best, best_i, best_k = _reduce_best(best_v, best_i_v, band)
 
     end_ref = best_i + best_k - half
     out_ref[:, 0:1] = best
@@ -454,10 +473,10 @@ def _sw_jnp(reads, read_lens, refs_padded, ref_lens, *, band, q_max,
         return step(i, carry, read_col, ref_slice, rlen), None
 
     zeros = jnp.zeros((n, band), jnp.int32)
-    init = (zeros, zeros, jnp.zeros((n, 1), jnp.int32),
-            jnp.zeros((n, 1), jnp.int32), jnp.zeros((n, 1), jnp.int32))
-    (h, e, best, best_i, best_k), _ = jax.lax.scan(
+    init = (zeros, zeros, zeros, zeros)
+    (h, e, best_v, best_i_v), _ = jax.lax.scan(
         scan_body, init, jnp.arange(q_max, dtype=jnp.int32))
+    best, best_i, best_k = _reduce_best(best_v, best_i_v, band)
     return best[:, 0], best_i[:, 0], (best_i + best_k - band // 2)[:, 0]
 
 

@@ -97,14 +97,15 @@ def test_devseed_overflow_detection():
 
 def test_devseed_cap_sizing():
     """Caps are pow2 (stable compiled shapes) and track the documented
-    density model: winner slots >= slice_n*read_max/4, groups >= 4*slice_n."""
+    density model: winner slots >= slice_n*read_max/4, chain groups >=
+    2*slice_n (the extension runs at out_cap after post-chain compaction)."""
     for slice_n, read_max in [(256, 1024), (2048, 1024), (2048, 4096)]:
         wtot, a_max, g_max = MinimizerAligner._devseed_caps(slice_n, read_max)
         for v in (wtot, a_max, g_max):
             assert v & (v - 1) == 0, "caps must be powers of two"
         assert wtot >= slice_n * read_max // 4
         assert a_max >= wtot // 2
-        assert g_max >= 4 * slice_n
+        assert g_max >= 2 * slice_n
 
 
 def test_devseed_gate_requirements():
