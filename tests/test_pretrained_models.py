@@ -10,7 +10,6 @@ actually calls variants on fresh simulated data.
 """
 
 import numpy as np
-import pytest
 
 from megapath_nano_tpu.variant.pretrained import (default_ensemble,
                                                   manifest)
@@ -63,7 +62,9 @@ def test_ensemble_loads_and_calls():
     called = {c.position: c for c in calls}
     tp = sum(1 for p, alt in truth.items()
              if p in called and called[p].alt == "ACGT"[alt])
-    fp = len(called) - sum(1 for p in called if p in truth)
+    # a call at a true position with the WRONG alt is a false positive too
+    fp = sum(1 for p, c in called.items()
+             if p not in truth or c.alt != "ACGT"[truth[p]])
     fn = len(truth) - tp
     precision = tp / max(tp + fp, 1)
     recall = tp / max(tp + fn, 1)

@@ -175,7 +175,9 @@ def main(argv=None) -> int:
     called = {c.position: c for c in calls}
     tp = sum(1 for p, (alt, kind) in truth.items()
              if p in called and called[p].alt == "ACGT"[alt])
-    fp = len(called) - sum(1 for p in called if p in truth)
+    # wrong-alt calls at true positions count as FP (not silently dropped)
+    fp = sum(1 for p, c in called.items()
+             if p not in truth or c.alt != "ACGT"[truth[p][0]])
     fn = len(truth) - tp
     precision = tp / max(tp + fp, 1)
     recall = tp / max(tp + fn, 1)
