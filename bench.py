@@ -65,14 +65,14 @@ def main():
     # PAF mode: all alignment fields from the device kernel, no CIGARs —
     # the reference's taxon path equivalent (minimap2 PAF without -a)
     # warmup: compile all shapes
-    res = aligner.map_reads(batches[0], slice_size=2048, emit_cigars=False)
+    res = aligner.map_reads(batches[0], slice_size=4096, emit_cigars=False)
     n_aligned = len(np.unique(res.data["read_id"]))
     assert n_aligned >= 0.9 * N_READS, f"only {n_aligned} aligned in warmup"
 
     # steady state
     t0 = time.time()
     for it in range(n_iter):
-        aligner.map_reads(batches[it + 1], slice_size=2048,
+        aligner.map_reads(batches[it + 1], slice_size=4096,
                           emit_cigars=False)
     dt = time.time() - t0
     reads_per_s = n_iter * N_READS / dt

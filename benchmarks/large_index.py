@@ -45,31 +45,38 @@ def main(argv=None) -> int:
     glen = total_bp // args.n_genomes
     rng = np.random.default_rng(7)
 
+    records = []
+
+    def emit(rec):
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
     t0 = time.time()
     genomes = [rng.integers(0, 4, glen, dtype=np.int8)
                for _ in range(args.n_genomes)]
     t_gen = time.time() - t0
+    del t_gen
     t0 = time.time()
     index = MinimizerIndex.build(genomes,
                                  [f"g{i}" for i in range(args.n_genomes)])
     t_build = time.time() - t0
     n_entries = len(index.keys)
-    print(json.dumps({
+    emit({
         "metric": "index build", "total_bp": total_bp,
         "seconds": round(t_build, 1),
         "bp_per_s": round(total_bp / t_build, 0),
         "minimizer_entries": int(n_entries),
         "host_bytes": int(index.seq_data.nbytes + index.keys.nbytes
-                          + index.positions.nbytes)}))
+                          + index.positions.nbytes)})
 
     aligner = MinimizerAligner(index, params=AlignParams(backend=backend))
     devseed_ok = aligner._devseed_ok(4096)
     fused_gate = (index.seq_data.size < 2 ** 31 - 2 ** 16
                   and len(index.seq_names) < 2 ** 16)
-    print(json.dumps({"metric": "dispatch gates",
-                      "devseed_eligible": bool(devseed_ok),
-                      "fused_eligible": bool(fused_gate),
-                      "seq_data_size": int(index.seq_data.size)}))
+    emit({"metric": "dispatch gates",
+          "devseed_eligible": bool(devseed_ok),
+          "fused_eligible": bool(fused_gate),
+          "seq_data_size": int(index.seq_data.size)})
 
     def make_reads(seed):
         r = np.random.default_rng(seed)
@@ -95,12 +102,17 @@ def main(argv=None) -> int:
         aligner.map_reads(b, slice_size=2048, emit_cigars=False)
     dt = time.time() - t0
     rps = 2 * args.reads / dt
-    print(json.dumps({
+    emit({
         "metric": f"ONT reads/s/chip vs {args.gbp:.1f} Gbp index",
         "value": round(rps, 1), "unit": "reads/s/chip",
         "warmup_s": round(t_warm, 1),
         "aligned_fraction": round(n_aligned / args.reads, 3),
-        "backend": backend}))
+        "backend": backend})
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "large_index.json")
+    with open(out, "w") as f:
+        json.dump(records, f, indent=1)
+    print(f"written {out}")
     return 0
 
 

@@ -1,4 +1,5 @@
-import time, functools
+import sys, time, functools
+sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
 
 N, L = 2048, 1024

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Kernel roofline measurement (BASELINE: SSW-extend >= 80% of roofline).
+
+Measures the banded affine-gap SW kernels (kernels/sw.py) in Gcells/s at the
+production shape and checks them against an explicit issue-bound roofline
+model, writing benchmarks/roofline.json.
+
+Roofline model
+--------------
+The DP is int32 elementwise VPU work with a serial row recurrence — no MXU,
+no reuse to blow past memory: the binding resource is VECTOR ISSUE. The
+model assumes ONE vector op per cycle over an (8, 128) = 1024-lane vreg at
+~0.94 GHz => ~963 G lane-ops/s — deliberately conservative: microbenchmarks
+show the VPU dual-issues independent op pairs (~2.6 T lane-ops/s with ILP-8
+chains), so a measured fraction above 100% means the kernel's independent
+subexpressions are dual-issuing, not that the model is broken. With OPS
+lane-ops per DP cell (counted from the row-step source; see OPS_* below),
+the model peak is
+
+    cells/s = 963e9 / OPS
+
+Counted per-cell lane-ops (shift/roll = 2, compare+select = 2, arith/max/
+logic = 1 each; the log2(band)=7-step F prefix-max dominates):
+
+  score-only (_row_step_factory): fetch+rotate 6, substitution 8,
+      E chain 9, F closed form 2 + 7*3 + 2 = 25, H finalize 6,
+      per-lane best 4                                        => ~58
+  full-stats (_row_step_full_factory): adds 2 packed companion planes
+      through the diagonal/E selections (+16), a 3-plane F tuple scan
+      (7*7 = 49 vs 21, +28), companion finalize (+10), best extras (+4)
+                                                             => ~116
+
+Timing subtracts the measured dispatch floor (the remote-tunnel RTT) and
+forces materialization with np.asarray — block_until_ready under-reports on
+the axon backend.
+
+Usage: python benchmarks/roofline.py  (runs on the real TPU; exits 1 when a
+kernel lands below 80% of its modeled roofline)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+PEAK_LANE_OPS = 963e9      # 1024 lanes x ~0.94 GHz vector issue
+OPS_SCORE = 58
+OPS_FULL = 116
+FLOOR = 0.80
+
+G, Q, T, BAND = 4096, 1024, 1280, 128
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from megapath_nano_tpu.kernels.sw import banded_sw_full, banded_sw_scores
+
+    assert jax.default_backend() == "tpu", "roofline must run on the TPU"
+    rng = np.random.default_rng(0)
+    ra = jax.device_put(rng.integers(0, 4, (G, Q)).astype(np.int8))
+    rl = jax.device_put(np.full(G, Q - 24, np.int32))
+    ta = jax.device_put(rng.integers(0, 4, (G, T)).astype(np.int8))
+    tl = jax.device_put(np.full(G, Q + 76, np.int32))
+    kw = dict(band=BAND, match=2, mismatch=4, gap_open=4, gap_extend=2,
+              batch_tile=128, backend="pallas")
+
+    def timeit(fn, *a, n=7):
+        """Median of per-call wall times (forced materialization). The
+        tunnel occasionally returns a fluke sub-RTT sample; the median is
+        robust to it where a mean is not."""
+        np.asarray(fn(*a))
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            np.asarray(fn(*a))
+            ts.append((time.time() - t0) * 1000)
+        return float(np.median(ts))
+
+    rtt = timeit(jax.jit(lambda x: x + 1), jnp.float32(1))
+    cells = G * Q * BAND
+
+    f_score = jax.jit(lambda *a: jnp.sum(banded_sw_scores(*a, **kw)[0]))
+    f_full = jax.jit(
+        lambda *a: jnp.sum(banded_sw_full(*a, **kw).astype(jnp.float32)))
+    res = {"shape": {"batch": G, "q_max": Q, "t_max": T, "band": BAND},
+           "rtt_floor_ms": round(rtt, 1), "kernels": {}}
+    ok = True
+    for name, fn, ops in (("score", f_score, OPS_SCORE),
+                          ("full_stats", f_full, OPS_FULL)):
+        ms = timeit(fn, ra, rl, ta, tl) - rtt
+        gcps = cells / (ms / 1e3) / 1e9
+        model = PEAK_LANE_OPS / ops / 1e9
+        frac = gcps / model
+        res["kernels"][name] = {
+            "ms": round(ms, 1), "gcells_per_s": round(gcps, 2),
+            "model_gcells_per_s": round(model, 2),
+            "ops_per_cell": ops, "fraction_of_roofline": round(frac, 3)}
+        ok &= frac >= FLOOR
+        print(f"{name}: {ms:.1f} ms -> {gcps:.1f} Gcells/s "
+              f"(model {model:.1f}, {frac * 100:.0f}% of roofline)")
+    res["pass"] = bool(ok)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "roofline.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"written {out}; pass={ok} (floor {FLOOR:.0%})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -192,7 +192,18 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
                         strand, t_base, cnt, keep))
         G = ext_cap
 
-    # extension-window algebra (the host recs loop, vectorized)
+    # extension-window algebra (the host recs loop, vectorized).
+    # Diagonal back-shift for widened bands: when the window clips at a
+    # sequence start, w_lo sits exactly ON the chain diagonal and ref bases
+    # BEFORE it are unreachable at any band. Shifting w_lo/w_hi out by
+    # band/8 (<= 64 <= band/2) lets the redo-at-wider-band ladder reach
+    # optimal starts/ends a few bases beyond the first/last anchor's
+    # diagonal without pushing the chain outside the band (the query-side
+    # pad stays window_pad = 64, so the chain's band offset stays within
+    # +-(window_pad + dshift) < band/2 for every widened band). Zero at
+    # the default band 128: production output unchanged.
+    pad = window_pad
+    dshift = min(band // 8, 64) if band > 128 else 0
     qlen_g = qlens[rid]
     q_lo = q_min - (k - 1)
     q_hi = q_maxx + 1
@@ -200,12 +211,12 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
     t_hi = t_maxx + t_base + 1
     seq_off = seq_offsets[seqid]
     seq_len = seq_lengths[seqid]
-    left = jnp.minimum(q_lo, t_lo) + window_pad
-    right = jnp.minimum(qlen_g - q_hi, seq_len - t_hi) + window_pad
+    left = jnp.minimum(q_lo, t_lo) + pad
+    right = jnp.minimum(qlen_g - q_hi, seq_len - t_hi) + pad
     qs = jnp.maximum(q_lo - left, 0)
     qe = jnp.minimum(q_hi + right, qlen_g)
-    w_lo = jnp.maximum(t_lo - (q_lo - qs), 0)
-    w_hi = jnp.minimum(t_hi + (qe - q_hi), seq_len)
+    w_lo = jnp.maximum(t_lo - (q_lo - qs) - dshift, 0)
+    w_hi = jnp.minimum(t_hi + (qe - q_hi) + dshift, seq_len)
     rl = jnp.where(keep, qe - qs, 0).astype(jnp.int32)
     tl = jnp.where(keep, jnp.minimum(w_hi - w_lo, t_max), 0).astype(jnp.int32)
     start = jnp.where(keep, seq_off + w_lo, 0).astype(jnp.int32)
@@ -383,6 +394,10 @@ class AlignParams:
     #                                alignment is secondary, not primary
     min_alignment_score: int = 0
     window_pad: int = 64
+    gap_break: int = 5000   # split candidate groups at target gaps larger
+    #                         than this (collect_anchors / device seeding);
+    #                         genome-vs-genome stages use a smaller value so
+    #                         separated homology blocks emit independently
     max_anchors_per_group: int = 256
     fused_anchor_cap: int = 32   # ragged per-group anchor cap (fused path)
     extend_batch: int = 1024
@@ -750,15 +765,19 @@ class MinimizerAligner:
                 and idx.seq_data.size < 2 ** 31 - 2 ** 16)
 
     @staticmethod
-    def _devseed_caps(slice_n: int, read_max: int):
+    def _devseed_caps(slice_n: int, read_max: int, occ: float = 0.0):
         """Static shape caps for the device-seeded dispatch, sized so typical
         ONT batches never overflow: minimizer density is ~2/(w+1) ≈ 0.18 per
         base (w=10), so n*L/4 winner slots leave ~40% headroom; anchor slots
-        assume ~1 hit/winner on non-repetitive indexes (the counts row
-        triggers the exact host-seeded fallback when wrong). g_max bounds the
-        CHAIN stage only (the extension runs at out_cap after the post-chain
-        compaction), so 2 candidate groups per read is the padding, not the
-        budget."""
+        scale with the index's hash-space occupancy `occ` (positions /
+        4^k — the expected SPURIOUS hits per query hash): true-locus hits
+        are ~1/winner, spurious hits add ~occ/winner, so a_max covers
+        (1 + occ) anchors/winner with 2x headroom, floored at wtot/2 (every
+        512Ki-wide op costs ~4 ms on v5e, so the anchor plane width is the
+        seed stage's main cost). Overflow falls back exactly via the counts
+        row. g_max bounds the CHAIN stage only (the extension runs at
+        out_cap after the post-chain compaction), so 2 candidate groups per
+        read is the padding, not the budget."""
         def pow2(x, lo=4096):
             b = lo
             while b < x:
@@ -766,12 +785,20 @@ class MinimizerAligner:
             return b
 
         wtot_max = pow2(slice_n * read_max // 4)
-        a_max = wtot_max // 2   # ~1 hit / 2.7 winners measured on ONT reads;
-        #                         every 512Ki-wide op costs ~4 ms on v5e, so
-        #                         the anchor plane width is the seed stage's
-        #                         main cost — overflow falls back exactly
+        # anchors/winner budget: 0.5 on sparse indexes (measured 0.37 on
+        # 6%-error ONT reads — mutations kill most true minimizer hits),
+        # (1 + occ) once spurious hits matter; rounded to wtot/8 multiples
+        # (static shapes stay stable: occ is fixed per index)
+        frac = min(0.5 + 2.0 * occ, 4.0)
+        gran = max(wtot_max // 16, 4096)
+        a_max = -(-int(wtot_max * frac) // gran) * gran
         g_max = pow2(2 * slice_n)
         return wtot_max, a_max, g_max
+
+    def _index_occupancy(self) -> float:
+        """Expected spurious table hits per query hash: positions / 4^k."""
+        idx = self.index
+        return float(idx.positions.size) / float(4 ** idx.k)
 
     def _finish_fused(self, reads, read_names, id_base, groups, read_max,
                       _bucket, _band_for):
@@ -792,7 +819,8 @@ class MinimizerAligner:
             groups = collect_anchors(self.index, reads,
                                      max_occ=self.params.max_occ,
                                      min_group_anchors=(
-                                         self.params.min_group_anchors))
+                                         self.params.min_group_anchors),
+                                     gap_break=self.params.gap_break)
         if groups.n_groups == 0:
             return AlignList.empty(self.index.seq_names,
                                    self.meta.assembly_names, read_names or [])
@@ -828,19 +856,23 @@ class MinimizerAligner:
         qlens_a = np.zeros(slice_n, np.int32)
         qlens_a[:len(reads)] = [len(r) for r in reads]
 
-        wtot_max, a_max, g_max = self._devseed_caps(slice_n, read_max)
+        wtot_max, a_max, g_max = self._devseed_caps(
+            slice_n, read_max, self._index_occupancy())
         out_cap = 2048
         while out_cap < p.devseed_out_per_read * slice_n:
             out_cap *= 2
         out_cap = min(out_cap, g_max)
         q_max = read_max
         band = _band_for(q_max)
-        t_max = _bucket(q_max + band)
+        # multiple-of-256 (not pow2): the kernel never reaches past
+        # q_max + band/2, and pow2 rounding both wasted up to ~2x window
+        # gather/VMEM and could blow the kernel's 32k packing limit
+        t_max = -(-(q_max + band) // 256) * 256
         fut = _fused_map_dispatch_devseed(
             packed2, exc_rid, exc_pos, qlens_a, keys32, pos_t, pos_ss, lut,
             self._seq_data_dev, seq_off_dev, seq_len_dev,
             k=idx.k, w=idx.w, max_occ=p.max_occ,
-            min_group_anchors=p.min_group_anchors, gap_break=5000,
+            min_group_anchors=p.min_group_anchors, gap_break=p.gap_break,
             cap=p.fused_anchor_cap, seq_bits=self._seq_bits(),
             lut_bits=lut_bits, n_bisect=n_bisect,
             wtot_max=wtot_max, a_max=a_max, g_max=g_max, out_cap=out_cap,
@@ -885,7 +917,10 @@ class MinimizerAligner:
 
         q_max = read_max
         band = _band_for(q_max)
-        t_max = _bucket(q_max + band)
+        # multiple-of-256 (not pow2): the kernel never reaches past
+        # q_max + band/2, and pow2 rounding both wasted up to ~2x window
+        # gather/VMEM and could blow the kernel's 32k packing limit
+        t_max = -(-(q_max + band) // 256) * 256
         fut = _fused_map_dispatch(
             packed2, exc_rid, exc_pos, qlens_a, fq, ft, gmeta,
             self._seq_data_dev, seq_off_dev, seq_len_dev, k=idx.k,
@@ -1020,7 +1055,8 @@ class MinimizerAligner:
                 else:
                     groups = collect_anchors(
                         self.index, sl, max_occ=p.max_occ,
-                        min_group_anchors=p.min_group_anchors)
+                        min_group_anchors=p.min_group_anchors,
+                        gap_break=p.gap_break)
                     if groups.n_groups == 0:
                         subs.append((s, sl, None, None))
                         continue
@@ -1053,7 +1089,8 @@ class MinimizerAligner:
             for s, sl in wave:
                 groups = collect_anchors(
                     self.index, sl, max_occ=p.max_occ,
-                    min_group_anchors=p.min_group_anchors)
+                    min_group_anchors=p.min_group_anchors,
+                    gap_break=p.gap_break)
                 if groups.n_groups == 0:
                     continue
                 fut, ctx = self._fused_submit(sl, groups, read_max,
@@ -1106,7 +1143,8 @@ class MinimizerAligner:
                                       read_max, _bucket, _band_for)
 
         groups = collect_anchors(idx, reads, max_occ=p.max_occ,
-                                 min_group_anchors=p.min_group_anchors)
+                                 min_group_anchors=p.min_group_anchors,
+                                 gap_break=p.gap_break)
         if groups.n_groups == 0:
             return AlignList.empty(idx.seq_names, self.meta.assembly_names,
                                    read_names or [])
@@ -1174,15 +1212,19 @@ class MinimizerAligner:
             # extension problem: slice BOTH query and target around the
             # chain so the alignment diagonal starts at ~(0, 0) — required
             # by the diagonal-banded kernel, and correct for partial matches
-            # (e.g. a long query containing a short gene mid-way)
+            # (e.g. a long query containing a short gene mid-way).
+            # Diagonal back-shift for widened bands (see _fused_tail).
+            wband = p.band if p.band is not None else 0
+            wpad = p.window_pad
+            dshift = min(wband // 8, 64) if wband > 128 else 0
             seq_off = int(idx.seq_offsets[seq_id])
             seq_len = int(seq_lens[seq_id])
-            left = min(q_lo, t_lo) + p.window_pad
-            right = min(qlen - q_hi, seq_len - t_hi) + p.window_pad
+            left = min(q_lo, t_lo) + wpad
+            right = min(qlen - q_hi, seq_len - t_hi) + wpad
             qs = max(q_lo - left, 0)
             qe = min(q_hi + right, qlen)
-            w_lo = max(t_lo - (q_lo - qs), 0)
-            w_hi = min(t_hi + (qe - q_hi), seq_len)
+            w_lo = max(t_lo - (q_lo - qs) - dshift, 0)
+            w_hi = min(t_hi + (qe - q_hi) + dshift, seq_len)
             recs.append(dict(rid=rid, seq_id=seq_id, strand=strand,
                              qlen=qlen, w_lo=w_lo, w_hi=w_hi, qs=qs, qe=qe,
                              chain_score=int(best[g]),

@@ -82,9 +82,54 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CBMAR-style protein DB directory for the "
                         "ORF/blastp scan")
     p.add_argument("--min_alignment_length", type=int, default=0)
+    p.add_argument("--min_alignment_score", type=int, default=0,
+                   help="min alignment score (reference :5062)")
     p.add_argument("--human_filter_alignment_score", type=int, default=1000)
     p.add_argument("--human_filter_alignment_score_percent", type=float,
                    default=100.0)
+
+    # noise-stack tunables (reference names + defaults,
+    # megapath_nano.py:5077-5128)
+    p.add_argument("--species_id_min_aligned_bp", type=int, default=0,
+                   help="min aligned bp to include a species (:5077)")
+    p.add_argument("--variable_region_percent", type=int, default=50,
+                   help="max %% of strains aligned for a region to be "
+                        "variable (:5084)")
+    p.add_argument("--expected_max_depth_stdev", type=float, default=6.0,
+                   help="stdevs over mean depth for the spike filter "
+                        "(:5087)")
+    p.add_argument("--closing_expected_max_depth_stdev", type=float,
+                   default=9.0, help="spike stdevs, closing pass (:5109)")
+    p.add_argument("--max_alignment_noise_overlap", type=int, default=50,
+                   help="max %% noise overlap before an alignment is "
+                        "removed (:5103)")
+    p.add_argument("--unique_alignment_threshold", type=int, default=80,
+                   help="unique reads have no competitor within this %% of "
+                        "the best score (:5112)")
+    # reassignment solve tunables (reference lib/reassignment.py:117-118
+    # defaults; the reference hardcodes them — exposed here)
+    p.add_argument("--reassignment_ratio", type=float, default=0.05)
+    p.add_argument("--reassignment_error_rate", type=float, default=0.05)
+    p.add_argument("--reassignment_as_threshold", type=float, default=0.0)
+    # similar-species marker tunables (:5123-5128)
+    p.add_argument("--similar_species_marker_num_genus", type=int, default=3)
+    p.add_argument("--similar_species_marker_alignment_similarity_1",
+                   type=int, choices=[99, 98, 95, 90, 80], default=98)
+    p.add_argument("--similar_species_marker_aligned_region_threshold_1",
+                   type=int, default=50)
+    p.add_argument("--similar_species_marker_alignment_similarity_2",
+                   type=int, choices=[99, 98, 95, 90, 80], default=95)
+    p.add_argument("--similar_species_marker_aligned_region_threshold_2",
+                   type=int, default=75)
+    p.add_argument("--similar_species_marker_similarity_combine_logic",
+                   choices=["and", "or"], default="or")
+    # noise projection tunables (:5115-5120)
+    p.add_argument("--number_of_genus_to_perform_noise_projection",
+                   type=int, default=3)
+    p.add_argument("--noise_projection_num_read_to_simulate", type=int,
+                   default=10000)
+    p.add_argument("--noise_projection_simulated_read_length_multiplier",
+                   type=float, default=0.5)
     p.add_argument("--max_aligned_reads", type=int, default=0,
                    help="0 = no cap")
     p.add_argument("--backend", choices=["pallas", "jnp"], default=None,
@@ -93,6 +138,69 @@ def build_parser() -> argparse.ArgumentParser:
                    help="partition the reference index into N shards "
                         "(multi-chip/host layout; 1 = monolithic)")
     return p
+
+
+def options_from_args(args, *, have_human=False, have_decoy=False,
+                      have_assembly=False):
+    """Map parsed CLI flags onto ProfileOptions — every reference-named
+    tunable lands on its implemented field (tested by
+    tests/test_cli.py::test_tunable_flags_reach_options)."""
+    from megapath_nano_tpu.align.pipeline import AlignParams
+    from megapath_nano_tpu.taxon.profiler import ProfileOptions
+
+    return ProfileOptions(
+        human_filter=args.human_filter and have_human,
+        decoy_filter=args.decoy_filter and have_decoy,
+        human_filter_score=args.human_filter_alignment_score,
+        human_filter_score_percent=(
+            args.human_filter_alignment_score_percent / 100.0),
+        reassignment=args.reassignment,
+        reassign_ratio=args.reassignment_ratio,
+        reassign_error_rate=args.reassignment_error_rate,
+        reassign_as_threshold=args.reassignment_as_threshold,
+        spike_filter=args.spike_filter,
+        spike_stdev=args.expected_max_depth_stdev,
+        closing_spike_filter=args.closing_spike_filter,
+        closing_spike_stdev=args.closing_expected_max_depth_stdev,
+        short_alignment_filter=args.short_alignment_filter,
+        min_alignment_length=args.min_alignment_length,
+        noise_overlap_fraction=args.max_alignment_noise_overlap / 100.0,
+        min_aligned_bp_per_species=args.species_id_min_aligned_bp,
+        unique_alignment=args.unique_alignment,
+        unique_as_ratio=args.unique_alignment_threshold / 100.0,
+        variable_region_adjustment=args.variable_region_adjustment,
+        variable_region_percent=args.variable_region_percent / 100.0,
+        human_repetitive_filter=args.human_repetitive_region_filter,
+        microbe_repetitive_filter=args.microbe_repetitive_region_filter,
+        similar_species_marker=args.similar_species_marker,
+        similar_marker_num_genus=args.similar_species_marker_num_genus,
+        similar_marker_cond1=(
+            args.similar_species_marker_alignment_similarity_1 / 100.0,
+            args.similar_species_marker_aligned_region_threshold_1 / 100.0),
+        similar_marker_cond2=(
+            args.similar_species_marker_alignment_similarity_2 / 100.0,
+            args.similar_species_marker_aligned_region_threshold_2 / 100.0),
+        similar_marker_combine=(
+            args.similar_species_marker_similarity_combine_logic),
+        noise_projection=args.noise_projection,
+        noise_projection_num_genus=(
+            args.number_of_genus_to_perform_noise_projection),
+        noise_projection_reads=args.noise_projection_num_read_to_simulate,
+        noise_projection_read_length_multiplier=(
+            args.noise_projection_simulated_read_length_multiplier),
+        amplicon_filter_module=args.amplicon_filter_module,
+        assembly_selection=args.assembly_selection and have_assembly,
+        assembly_id_min_average_depth=args.assembly_id_min_average_depth,
+        good_align_threshold=args.good_alignment_threshold / 100.0,
+        genome_pair_cache_dir=args.genome_pair_cache,
+        align=AlignParams(backend=args.backend,
+                          min_alignment_score=args.min_alignment_score),
+        # CIGARs are only consumed by the AMR consensus and the .species.sam
+        # output; the amplicon filter's downstream variant tooling also needs
+        # them. Pure taxon runs take the PAF-only device path (faster).
+        emit_cigars=bool((args.amr and args.amr_db)
+                         or args.amplicon_filter_module),
+    )
 
 
 def main(argv=None) -> int:
@@ -177,36 +285,9 @@ def main(argv=None) -> int:
         print("no reads after filtering", file=sys.stderr)
         return 1
 
-    options = ProfileOptions(
-        human_filter=args.human_filter and human_db is not None,
-        decoy_filter=args.decoy_filter and decoy_db is not None,
-        human_filter_score=args.human_filter_alignment_score,
-        human_filter_score_percent=(
-            args.human_filter_alignment_score_percent / 100.0),
-        reassignment=args.reassignment,
-        spike_filter=args.spike_filter,
-        closing_spike_filter=args.closing_spike_filter,
-        short_alignment_filter=args.short_alignment_filter,
-        min_alignment_length=args.min_alignment_length,
-        unique_alignment=args.unique_alignment,
-        variable_region_adjustment=args.variable_region_adjustment,
-        human_repetitive_filter=args.human_repetitive_region_filter,
-        microbe_repetitive_filter=args.microbe_repetitive_region_filter,
-        similar_species_marker=args.similar_species_marker,
-        noise_projection=args.noise_projection,
-        amplicon_filter_module=args.amplicon_filter_module,
-        assembly_selection=(args.assembly_selection
-                            and assembly_db is not None),
-        assembly_id_min_average_depth=args.assembly_id_min_average_depth,
-        good_align_threshold=args.good_alignment_threshold / 100.0,
-        genome_pair_cache_dir=args.genome_pair_cache,
-        align=AlignParams(backend=args.backend),
-        # CIGARs are only consumed by the AMR consensus and the .species.sam
-        # output; the amplicon filter's downstream variant tooling also needs
-        # them. Pure taxon runs take the PAF-only device path (faster).
-        emit_cigars=bool((args.amr and args.amr_db)
-                         or args.amplicon_filter_module),
-    )
+    options = options_from_args(args, have_human=human_db is not None,
+                                have_decoy=decoy_db is not None,
+                                have_assembly=assembly_db is not None)
     aligner = None
     if args.index_shards > 1:
         from megapath_nano_tpu.dist.sharded_aligner import ShardedAligner

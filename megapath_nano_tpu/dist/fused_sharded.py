@@ -6,16 +6,18 @@ streaming (reference: bin/lib/aligner.py:211-217 — targets cat'd through a
 FIFO in chunks, minimap2 -I batches the index, the host merges per-read hits
 across passes; SURVEY §2.7). Here:
 
-  - the minimizer index is partitioned by target sequence across S shards;
-    each device holds its shard's sorted hash planes + packed bases
-    (device-resident — only the 2-bit packed reads cross the host link)
-  - reads are REPLICATED across the shard axis; each shard runs the SAME
-    fused dispatch as the single-chip device-seeded path
-    (align/device_seed.py seeding + align/pipeline._fused_tail) against its
-    local planes
+  - the minimizer index is partitioned by target sequence across S shards
+    along the "shard" mesh axis; each device holds its shard's sorted hash
+    planes + packed bases (device-resident — only the 2-bit packed reads
+    cross the host link)
+  - reads are DATA-PARALLEL over the "data" mesh axis: a slice is split
+    into D contiguous blocks, block d replicated across data-row d's S
+    shard devices; each device runs the SAME fused dispatch as the
+    single-chip device-seeded path (align/device_seed.py seeding +
+    align/pipeline._fused_tail) on (its read block × its index shard)
   - per-shard row blocks (compacted uint16 stats rows) are merged with
-    jax.lax.all_gather over the "shard" mesh axis — one collective, one
-    host fetch regardless of S
+    jax.lax.all_gather over the "shard" mesh axis — one collective per
+    data row, one host fetch regardless of D × S
   - the host applies the global per-read top-K chain gate over the union
     (each shard kept its local top-K, a superset of the global top-K) and
     the standard multi-locus selection/collect (fused_collect_np), so the
@@ -240,13 +242,23 @@ def _sharded_fused_dispatch(keys32, pos_t, pos_ss, lut, seq_data, seq_off,
                             mismatch, gap_open, gap_extend, batch_tile,
                             backend, min_chain_score, max_per_read,
                             window_pad):
-    """One multi-device dispatch: per-shard device seeding + fused tail,
-    merged with all_gather. Returns (S, out_cap+1, FUSED_COLS) uint16 —
-    out_cap compacted stats rows + a counts row per shard."""
+    """One multi-device dispatch over the full (data × shard) mesh: reads
+    are split into D blocks along the "data" axis, the index into S shards
+    along the "shard" axis; each device runs the fused seed→chain→extend
+    step on (its read block × its index shard), and per-shard row blocks
+    merge with all_gather over "shard" (ICI). Returns
+    (D, S, out_cap+1, FUSED_COLS) uint16 — out_cap compacted stats rows +
+    a counts row per (data block, shard).
+
+    Reads arrive pre-blocked on a leading data axis: packed2 (D, nd, nb),
+    exc_rid/exc_pos (D, ep), qlens (D, nd) — read ids inside a block are
+    block-local; the host offsets them by d * nd after the fetch."""
     from megapath_nano_tpu.align.device_seed import build_groups_device
 
     def local_step(keys32, pos_t, pos_ss, lut, seq_data, seq_off, seq_len,
                    packed2, exc_rid, exc_pos, qlens):
+        packed2, exc_rid, exc_pos, qlens = (
+            packed2[0], exc_rid[0], exc_pos[0], qlens[0])
         codes = _unpack_reads(packed2, exc_rid, exc_pos)
         qg, tg, cnt, rid, seqid, strand, t_base, dcounts = \
             build_groups_device(
@@ -266,16 +278,18 @@ def _sharded_fused_dispatch(keys32, pos_t, pos_ss, lut, seq_data, seq_off,
             window_pad=window_pad, ext_cap=out_cap)
         counts = jnp.concatenate([dcounts, n_keep[None]])
         rows = jnp.concatenate([out, _pack_counts_row(counts)], axis=0)
-        # ICI merge: every device ends with all shards' row blocks
-        return jax.lax.all_gather(rows, "shard")
+        # ICI merge: every device in a data row ends with all shards' row
+        # blocks for ITS read block
+        return jax.lax.all_gather(rows, "shard")[None]
 
     return shard_map(
         local_step, mesh=mesh,
         in_specs=(P("shard", None), P("shard", None), P("shard", None),
                   P("shard", None), P("shard", None), P("shard", None),
                   P("shard", None),
-                  P(), P(), P(), P()),
-        out_specs=P(),
+                  P("data", None, None), P("data", None), P("data", None),
+                  P("data", None)),
+        out_specs=P("data"),
         check_vma=False,
     )(keys32, pos_t, pos_ss, lut, seq_data, seq_off, seq_len,
       packed2, exc_rid, exc_pos, qlens)
@@ -322,17 +336,20 @@ class ShardMapAligner:
         return self._dev
 
     def _caps(self, slice_n: int, read_max: int):
-        def pow2(x, lo=4096):
-            b = lo
-            while b < x:
-                b *= 2
-            return b
-        wtot_max = pow2(slice_n * read_max // 4)
-        g_max = pow2(2 * slice_n)
+        from megapath_nano_tpu.align.pipeline import MinimizerAligner
+
+        # per-shard hash-space occupancy (spurious hits per query hash);
+        # the dense-index anchor sizing lives in _devseed_caps
+        p = self.planes
+        n_pos = int(np.count_nonzero(p.keys32 != _HASH_PAD, axis=1).max()) \
+            if p.keys32.size else 0
+        occ = n_pos / float(4 ** p.k)
+        wtot_max, a_max, g_max = MinimizerAligner._devseed_caps(
+            slice_n, read_max, occ)
         out_cap = 2048
         while out_cap < self.params.devseed_out_per_read * slice_n:
             out_cap *= 2
-        return wtot_max, wtot_max // 2, g_max, min(out_cap, g_max)
+        return wtot_max, a_max, g_max, min(out_cap, g_max)
 
     def _shard_fallback_rows(self, sh: int, reads, read_max, band):
         """Exact host-seeded dispatch against shard sh's local index —
@@ -346,7 +363,8 @@ class ShardMapAligner:
         al = self._fallback[sh]
         groups = collect_anchors(al.index, reads, max_occ=self.params.max_occ,
                                  min_group_anchors=(
-                                     self.params.min_group_anchors))
+                                     self.params.min_group_anchors),
+                                 gap_break=self.params.gap_break)
         if groups.n_groups == 0:
             return np.zeros((0, FUSED_COLS), np.uint16)
         fut, _ctx = al._fused_submit(reads, groups, read_max, _pow2,
@@ -376,27 +394,38 @@ class ShardMapAligner:
     def _map_slice(self, reads, id_base) -> np.ndarray:
         p = self.params
         planes = self.planes
-        slice_n = _pow2(len(reads), 256)
+        n_data = self.mesh.shape.get("data", 1)
+        # read block per data row (data-parallel axis); every block padded
+        # to nd rows so the stacked (D, nd, ...) arrays are rectangular
+        nd = _pow2((len(reads) + n_data - 1) // n_data, 256)
         read_max = _pow2(max(len(r) for r in reads), 256)
         band = p.band if p.band is not None else (
             128 if read_max <= 2048 else (256 if read_max <= 8192 else 512))
         assert read_max + band < 2 ** 15, "fused gate: reads too long"
-        t_max = _pow2(read_max + band, 256)
-        wtot_max, a_max, g_max, out_cap = self._caps(slice_n, read_max)
+        t_max = -(-(read_max + band) // 256) * 256
+        wtot_max, a_max, g_max, out_cap = self._caps(nd, read_max)
 
-        packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max,
-                                                 n_rows=slice_n)
-        qlens_a = np.zeros(slice_n, np.int32)
-        qlens_a[:len(reads)] = [len(r) for r in reads]
+        blocks_in = [reads[d * nd: (d + 1) * nd] for d in range(n_data)]
+        packs = [_pack_reads2(b, read_max, n_rows=nd) for b in blocks_in]
+        ep = max(pk[1].shape[0] for pk in packs)
+        packed2 = np.stack([pk[0] for pk in packs])
+        exc_rid = np.full((n_data, ep), nd, np.int32)   # pad rid nd: dropped
+        exc_pos = np.zeros((n_data, ep), np.int32)
+        qlens_a = np.zeros((n_data, nd), np.int32)
+        for d, (pk, b) in enumerate(zip(packs, blocks_in)):
+            exc_rid[d, :pk[1].shape[0]] = pk[1]
+            exc_pos[d, :pk[2].shape[0]] = pk[2]
+            qlens_a[d, :len(b)] = [len(r) for r in b]
         dev = self._device_arrays()
-        rep = NamedSharding(self.mesh, P())
-        args = [jax.device_put(x, rep)
+        args = [jax.device_put(x, NamedSharding(
+                    self.mesh, P("data", *([None] * (x.ndim - 1)))))
                 for x in (packed2, exc_rid, exc_pos, qlens_a)]
         lut_bits, n_bisect = self._lut_meta
         blocks = np.asarray(_sharded_fused_dispatch(
             *dev, *args, mesh=self.mesh, k=planes.k, w=planes.w,
             max_occ=p.max_occ, min_group_anchors=p.min_group_anchors,
-            gap_break=5000, cap=p.fused_anchor_cap, seq_bits=planes.seq_bits,
+            gap_break=p.gap_break, cap=p.fused_anchor_cap,
+            seq_bits=planes.seq_bits,
             lut_bits=lut_bits, n_bisect=n_bisect,
             wtot_max=wtot_max, a_max=a_max, g_max=g_max, out_cap=out_cap,
             q_max=read_max, t_max=t_max, band=band, match=p.match,
@@ -407,17 +436,22 @@ class ShardMapAligner:
             window_pad=p.window_pad))
 
         shard_rows = []
-        for sh in range(planes.n_shards):
-            rows, counts = blocks[sh, :-1], _unpack_counts_row(blocks[sh, -1])
-            tw, ta, ng, nk = (int(c) for c in counts)
-            if tw > wtot_max or ta > a_max or ng > g_max or nk > out_cap:
-                rows = self._shard_fallback_rows(sh, reads, read_max, band)
-            # keep rows only, with local -> global sequence id remap (rows
-            # widen to int64 here, so global ids are not uint16-bounded)
-            r = rows.astype(np.int64)
-            r = r[r[:, F_KEEP] == 1]
-            r[:, F_SEQ] = planes.seq_global[sh][r[:, F_SEQ]]
-            shard_rows.append(r)
+        for d in range(n_data):
+            for sh in range(planes.n_shards):
+                rows = blocks[d, sh, :-1]
+                counts = _unpack_counts_row(blocks[d, sh, -1])
+                tw, ta, ng, nk = (int(c) for c in counts)
+                if tw > wtot_max or ta > a_max or ng > g_max or nk > out_cap:
+                    rows = self._shard_fallback_rows(sh, blocks_in[d],
+                                                     read_max, band)
+                # keep rows only, with local -> global sequence id remap and
+                # block-local -> slice-local read id offset (rows widen to
+                # int64 here, so neither is uint16-bounded)
+                r = rows.astype(np.int64)
+                r = r[r[:, F_KEEP] == 1]
+                r[:, F_SEQ] = planes.seq_global[sh][r[:, F_SEQ]]
+                r[:, F_RID] += d * nd
+                shard_rows.append(r)
         arr = np.concatenate(shard_rows) if shard_rows else \
             np.zeros((0, FUSED_COLS), np.int64)
 
@@ -435,7 +469,7 @@ class ShardMapAligner:
             arr = arr[np.sort(order[rank < p.max_alignments_per_read])]
 
         al = fused_collect_np(
-            arr, qlens_a, id_base, None, p,
+            arr, qlens_a.reshape(-1), id_base, None, p,
             self.planes.global_seq_names, self.planes.global_seq_lengths,
             self.meta)
         return al.data

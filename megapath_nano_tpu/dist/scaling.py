@@ -33,6 +33,7 @@ class ScalePoint:
     reads_per_s: float
     efficiency: float       # vs 1-shard throughput (weak scaling: 1.0 =
     #                         constant throughput as index grows with N)
+    n_data: int = 1
 
 
 def measure_scaling(
@@ -44,10 +45,15 @@ def measure_scaling(
     iters: int = 3,
     seed: int = 0,
     backend: str | None = None,
+    n_data: int = 1,
 ) -> list[ScalePoint]:
+    """Weak scaling over the "shard" axis at a fixed "data" width: each
+    mesh point uses n_data × n_shards devices; reads are data-parallel over
+    the n_data rows and the index is sharded across n_shards columns."""
     devs = jax.devices()
     if shard_counts is None:
-        shard_counts = [n for n in (1, 2, 4, 8) if n <= len(devs)]
+        shard_counts = [n for n in (1, 2, 4, 8)
+                        if n * n_data <= len(devs)]
     if backend is None:
         backend = "pallas" if devs[0].platform == "tpu" else "jnp"
     rng = np.random.default_rng(seed)
@@ -65,7 +71,7 @@ def measure_scaling(
     points = []
     base = None
     for n_shards in shard_counts:
-        mesh = make_mesh(n_shards=n_shards, n_data=1)
+        mesh = make_mesh(n_shards=n_shards, n_data=n_data)
         # weak scaling: N shards index the first N genomes (reads from
         # genomes beyond the indexed set simply don't align)
         planes = ShardedIndexPlanes.build(
@@ -79,11 +85,15 @@ def measure_scaling(
         rps = n_reads / dt
         if base is None:
             base = rps
-        points.append(ScalePoint(n_shards, rps, rps / base))
+        points.append(ScalePoint(n_shards, rps, rps / base, n_data))
     return points
 
 
 if __name__ == "__main__":
-    for pt in measure_scaling():
-        print(f"shards={pt.n_shards:2d}  {pt.reads_per_s:9.1f} reads/s  "
+    import sys
+
+    nd = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    for pt in measure_scaling(n_data=nd):
+        print(f"mesh (data={pt.n_data}, shard={pt.n_shards:2d})  "
+              f"{pt.reads_per_s:9.1f} reads/s  "
               f"efficiency {pt.efficiency:.2f}")

@@ -1,12 +1,18 @@
-"""Sharded-index read mapping with exact single-index output parity.
+"""Host-loop sharded mapping — the EXACT-FALLBACK tier of dist/.
 
-The multi-host execution model for references larger than one chip/host
-(SURVEY §2.7: the reference streams minimap2 index batches with `-I`,
-merging per-pass results on one host — reference: bin/megapath_nano.py:
-4019-4022, bin/lib/aligner.py:211-217). Here the assembly set is partitioned
-into S shards, each shard holds its own MinimizerIndex (device-resident on
-its chip in a real deployment; `dist/sharded.py` is the shard_map inner
-step), and per-shard align lists are merged:
+The production multi-chip path is `dist/fused_sharded.ShardMapAligner`
+(one shard_map dispatch over the mesh, PAF mode). This module is the
+host-loop equivalent: S shard-local MinimizerAligners run in turn on one
+device and merge exactly — no mesh needed, and it supports CIGAR-emit
+mode, which the shard_map path does not. Used by `cli/main.py
+--index_shards` and as the reference semantics for the shard_map tests.
+
+The multi-host execution model mirrors the reference streaming minimap2
+index batches with `-I` and merging per-pass results on one host
+(SURVEY §2.7; reference: bin/megapath_nano.py:4019-4022,
+bin/lib/aligner.py:211-217). The assembly set is partitioned into S shards,
+each shard holds its own MinimizerIndex, and per-shard align lists are
+merged:
 
   - alignment of a read against a target sequence depends only on that
     sequence, so per-shard results equal the single-index results restricted

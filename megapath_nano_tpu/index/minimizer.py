@@ -3,10 +3,11 @@
 The reference seeds alignments with minimap2's minimizer index
 (reference: bin/lib/aligner.py:206, `-x map-ont` => k=15, w=10). Here the index
 is two sorted flat arrays (hash keys + packed positions) so that device-side
-lookup is a vectorized binary search (jnp.searchsorted) over an HBM-resident
-table — the TPU-idiomatic replacement for a pointer-chasing hash table, and
-the unit of sharding for multi-chip scale-out (each shard holds a contiguous
-slice of reference sequences with its own table; see dist/sharded_align.py).
+lookup is a bucket-LUT + bounded bisection over an HBM-resident table
+(align/device_seed.py) — the TPU-idiomatic replacement for a pointer-chasing
+hash table, and the unit of sharding for multi-chip scale-out (each shard
+holds a subset of reference sequences with its own table; see
+dist/fused_sharded.py).
 
 Position packing (uint64): seq_id:24 | kmer_end_pos:39 | strand:1.
 """

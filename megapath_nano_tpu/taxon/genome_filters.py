@@ -28,16 +28,38 @@ from megapath_nano_tpu.index.minimizer import MinimizerIndex
 from megapath_nano_tpu.taxon.intervals import (BED_DTYPE, depth_segments,
                                                make_bed, merge_bed)
 
-# Abundance-ratio ladder (reference defaults, megapath_nano.py:5090-5095):
-# (min_ratio, similarity, same_genus_only)
+# Abundance-ratio ladder (reference defaults, megapath_nano.py:5090-5095 and
+# the gate structure :2033-2055): (min_ratio, similarity, same_genus_only).
+# The >= 98% tiers all require the pair to share a genus (reference checks
+# genus_tax_id equality for similarity_index 4, 5 AND 6).
 RATIO_LADDER = [
     (160.0, 0.80, False),
     (80.0, 0.90, False),
     (40.0, 0.95, False),
     (16.0, 0.98, True),
-    (8.0, 0.99, False),
-    (6.4, 0.992, False),
+    (8.0, 0.99, True),
+    (6.4, 0.992, True),
 ]
+
+# Similarity-tier seed parameters: at high divergence the default (15, 10)
+# minimizers barely survive (a 15-mer is intact with prob 0.8^15 ~ 3.5% at
+# 20% divergence), so low-similarity tiers seed with shorter k-mers and
+# denser windows — the TPU-native analogue of the reference's per-divergence
+# minimap2 presets (similarity_option, megapath_nano.py:221-241). Ordered
+# descending; first entry with tier_sim <= sim applies.
+TIER_SEEDS = [
+    (0.98, 15, 10),
+    (0.95, 13, 8),
+    (0.90, 11, 6),
+    (0.0, 9, 4),
+]
+
+
+def tier_seed_params(similarity: float) -> tuple[int, int]:
+    for floor, k, w in TIER_SEEDS:
+        if similarity >= floor:
+            return k, w
+    return TIER_SEEDS[-1][1:]
 
 
 def chunk_genome(seq: np.ndarray, *, chunk: int = 10000,
@@ -58,21 +80,37 @@ def align_genome_to_index(
     *,
     min_identity: float = 0.0,
     backend: str = "jnp",
-    chunk: int = 10000,
+    chunk: int = 4000,
+    min_block: int = 100,
 ) -> AlignList:
-    """Chunked whole-genome alignment; blocks below min_identity dropped."""
+    """Chunked whole-genome alignment; blocks below min_identity or shorter
+    than min_block target bp dropped (short-k tier seeding can chain ~20 bp
+    random matches that clear the identity filter; real homologous blocks
+    are orders of magnitude longer).
+
+    chunk 4000: each candidate group emits ONE chain, so a chunk spanning
+    two homology blocks that are adjacent on the target but apart on the
+    source keeps only the better block — smaller overlapping chunks bound
+    that loss to a fraction of one chunk."""
     chunks = chunk_genome(source, chunk=chunk)
     # genome-vs-genome stages keep all secondary loci (minimap2 -p 0,
     # reference megapath_nano.py:1372-1387 / step_*_repetitive_region)
+    # gap_break 1000: separated homology blocks 1-5 kb apart on the same
+    # target must emit as INDEPENDENT alignments (local SW would otherwise
+    # truncate at the junk between them and silently drop the second block)
     params = AlignParams(backend=backend, min_chain_score=40,
-                         max_alignments_per_read=20, secondary_ratio=0.0)
+                         max_alignments_per_read=20, secondary_ratio=0.0,
+                         gap_break=1000)
     aligner = MinimizerAligner(target_index, params=params)
     res = aligner.map_reads(chunks)
-    if len(res) and min_identity > 0:
+    if len(res):
         d = res.data
         span = d["sequence_to"] - d["sequence_from"]
-        ident = np.where(span > 0, d["match"] / np.maximum(span, 1), 0.0)
-        res = res.filter(ident >= min_identity)
+        keep = span >= min_block
+        if min_identity > 0:
+            ident = np.where(span > 0, d["match"] / np.maximum(span, 1), 0.0)
+            keep &= ident >= min_identity
+        res = res.filter(keep)
     return res
 
 
@@ -124,10 +162,20 @@ def microbe_repetitive_beds(
     backend: str = "jnp",
     cache=None,
     name_of: dict[int, str] | None = None,
+    targeted_max_span: float = 0.90,   # --..._targeted_max_span_percent/100
+    allowed_max_span: float = 0.97,    # --..._allowed_max_span_percent/100
 ) -> np.ndarray:
     """Step 12: for each (high, low) abundance pair passing the ratio
     ladder, regions of the LOW assembly covered by the HIGH genome at the
     ladder similarity become noise on the low assembly.
+
+    Each tier seeds with divergence-matched (k, w) (tier_seed_params) and
+    applies the reference's escalate/drop rule (:2153-2165): when a tier's
+    bed covers > targeted_max_span of the low assembly, the pair escalates
+    to the next-higher similarity tier and realigns; at the highest tier
+    (99.2%) a bed still covering > allowed_max_span is DROPPED — marking
+    ~all of a genome as noise means the pair is the same organism, not
+    cross-talk.
 
     With cache + name_of each (high, low, similarity) pair bed is memoized
     on disk keyed by assembly NAMES — the reference's `.asmNN.bed` caches
@@ -135,6 +183,21 @@ def microbe_repetitive_beds(
     preset."""
     beds = []
     ids = sorted(abundances, key=lambda a: -abundances[a])
+    sims = sorted(s for _, s, _ in RATIO_LADDER)    # ascending similarity
+    tier_idx_cache: dict[tuple, MinimizerIndex] = {}
+
+    def tier_index(low: int, sim: float) -> MinimizerIndex:
+        k, w = tier_seed_params(sim)
+        base = target_index_of[low]
+        if (base.k, base.w) == (k, w):
+            return base
+        key = (low, k, w)
+        if key not in tier_idx_cache:
+            seqs = assemblies[low]
+            tier_idx_cache[key] = MinimizerIndex.build(
+                seqs, [f"t{low}s{i}" for i in range(len(seqs))], k=k, w=w)
+        return tier_idx_cache[key]
+
     for hi_pos, high in enumerate(ids):
         for low in ids[hi_pos + 1:]:
             ab_h, ab_l = abundances[high], abundances[low]
@@ -150,13 +213,14 @@ def microbe_repetitive_beds(
                     break
             if sim is None:
                 continue
-            index = target_index_of[low]
+            low_len = max(sum(len(s) for s in assemblies[low]), 1)
 
-            def pair_bed(high=high, low=low, sim=sim, index=index):
+            def pair_bed(high=high, low=low, sim=sim):
                 pbeds = []
                 for hseq in assemblies[high]:
                     al = align_genome_to_index(
-                        hseq, index, min_identity=sim, backend=backend)
+                        hseq, tier_index(low, sim), min_identity=sim,
+                        backend=backend)
                     if len(al):
                         b = covered_bed(al, seq_assembly_of[low])
                         b["assembly_id"] = low
@@ -165,12 +229,26 @@ def microbe_repetitive_beds(
                     return np.zeros(0, BED_DTYPE)
                 return merge_bed(np.concatenate(pbeds))
 
-            if cache is not None and name_of is not None:
-                key = (f"microbe_rep:{name_of[high]}->" 
-                       f"{name_of[low]}@{sim}")
-                bed = cache.get_or_compute(key, pair_bed)
-            else:
-                bed = pair_bed()
+            # escalate/drop ladder over ascending-similarity tiers
+            bed = np.zeros(0, BED_DTYPE)
+            tier = sims.index(sim)
+            while True:
+                sim = sims[tier]
+                if cache is not None and name_of is not None:
+                    key = (f"microbe_rep:{name_of[high]}->"
+                           f"{name_of[low]}@{sim}")
+                    bed = cache.get_or_compute(
+                        key, lambda: pair_bed(sim=sim))
+                else:
+                    bed = pair_bed(sim=sim)
+                covered = float((bed["end"] - bed["start"]).sum()) / low_len
+                if covered > targeted_max_span:
+                    if tier + 1 < len(sims):
+                        tier += 1
+                        continue
+                    if covered > allowed_max_span:
+                        bed = np.zeros(0, BED_DTYPE)   # same organism
+                break
             if len(bed):
                 beds.append(bed)
     if not beds:
@@ -240,24 +318,30 @@ def similar_species_marker(
     *,
     cond1=(0.98, 0.5),
     cond2=(0.95, 0.75),
+    combine: str = "or",
     backend: str = "jnp",
 ) -> dict[int, bool]:
     """Step 21: mark sibling assemblies similar to the genus-top assembly:
     similar if covered fraction >= 50% at 98% identity (cond 1) OR >= 75% at
-    95% identity (cond 2) — OR-combined (reference defaults :5123-5128)."""
-    marks: dict[int, bool] = {}
+    95% identity (cond 2) — combined with `combine` ("or"/"and", the
+    reference's --similar_species_marker_similarity_combine_logic; defaults
+    :5123-5128)."""
+    per_cond: list[set[int]] = []
     for ident, min_cov in (cond1, cond2):
+        hit: set[int] = set()
         beds = []
         for seq in top_assembly_seqs:
             al = align_genome_to_index(seq, sibling_index,
                                        min_identity=ident, backend=backend)
             beds.append(covered_bed(al, sibling_seq_assembly))
-        if not beds:
-            continue
-        merged = merge_bed(np.concatenate(beds))
-        for aid, length in sibling_lengths.items():
-            cov = merged[merged["assembly_id"] == aid]
-            cov_bp = int((cov["end"] - cov["start"]).sum())
-            if length > 0 and cov_bp / length >= min_cov:
-                marks[aid] = True
-    return marks
+        if beds:
+            merged = merge_bed(np.concatenate(beds))
+            for aid, length in sibling_lengths.items():
+                cov = merged[merged["assembly_id"] == aid]
+                cov_bp = int((cov["end"] - cov["start"]).sum())
+                if length > 0 and cov_bp / length >= min_cov:
+                    hit.add(aid)
+        per_cond.append(hit)
+    both = (per_cond[0] | per_cond[1] if combine == "or"
+            else per_cond[0] & per_cond[1])
+    return {aid: True for aid in both}

@@ -67,9 +67,19 @@ class ProfileOptions:
     human_repetitive_filter: bool = False   # step 10 (off, :4990)
     microbe_repetitive_filter: bool = False  # step 12 (off, :4991)
     variable_region_adjustment: bool = False  # step 8 (off, :4988)
+    variable_region_percent: float = 0.5    # --variable_region_percent/100
+    #                                         (:5084, default 50)
     similar_species_marker: bool = False    # step 21 (off)
+    # --similar_species_marker_* (:5123-5128): (similarity, covered-fraction)
+    # condition pairs + combine logic
+    similar_marker_num_genus: int = 3
+    similar_marker_cond1: tuple = (0.98, 0.5)
+    similar_marker_cond2: tuple = (0.95, 0.75)
+    similar_marker_combine: str = "or"
     noise_projection: bool = False          # step 20 (off)
     noise_projection_reads: int = 1000
+    noise_projection_num_genus: int = 3     # (:5115)
+    noise_projection_read_length_multiplier: float = 0.5   # (:5118)
     amplicon_filter_module: bool = False    # exit after placement (:1279)
     closing_spike_filter: bool = False      # off (:4992)
     closing_spike_stdev: float = 9.0        # (:5109)
@@ -607,6 +617,7 @@ class TaxonProfiler:
             bed = variable_region_bed(
                 strain_seqs, tindex, np.zeros(len(chosen_seqs), np.int32),
                 chosen, backend=self.options.align.backend,
+                min_strain_fraction=self.options.variable_region_percent,
                 cache=self._bed_cache,
                 cache_key="+".join(sorted(
                     self.db.assembly_names[a] for a in sibs))
@@ -636,7 +647,7 @@ class TaxonProfiler:
             if g in genera_done:
                 continue
             genera_done.add(g)
-            if len(genera_done) > 3:
+            if len(genera_done) > opt.noise_projection_num_genus:
                 break
             src = int(row["assembly_id"])
             sibs = {a: self._assembly_seqs(self.db, a)
@@ -644,13 +655,14 @@ class TaxonProfiler:
                     if int(self.db.assembly_tax[a, 2]) == g and a != src}
             if not sibs:
                 continue
-            # read length cap = 0.5 x the source's average read length
-            # (megapath_nano.py:2675-2685)
+            # read length cap = multiplier x the source's average read
+            # length (megapath_nano.py:2675-2685, default 0.5)
             avg_len = float(row["average_read_length"]) or 1000.0
+            mult = opt.noise_projection_read_length_multiplier
             projections.extend(project_noise(
                 src, self._assembly_seqs(self.db, src), sibs,
                 n_reads=opt.noise_projection_reads,
-                max_read_length=max(int(avg_len * 0.5), 300),
+                max_read_length=max(int(avg_len * mult), 300),
                 backend=opt.align.backend))
         return projections
 
@@ -667,7 +679,7 @@ class TaxonProfiler:
             g = int(row["genus_tax_id"])
             if g not in top_genera:
                 top_genera.append(g)
-            if len(top_genera) >= 3:
+            if len(top_genera) >= self.options.similar_marker_num_genus:
                 break
         marks: dict[int, bool] = {}
         for g in top_genera:
@@ -698,6 +710,9 @@ class TaxonProfiler:
             got = similar_species_marker(
                 self._assembly_seqs(self.db, top_asm), sib_index,
                 np.array(sib_sa, np.int32), sib_lens,
+                cond1=self.options.similar_marker_cond1,
+                cond2=self.options.similar_marker_cond2,
+                combine=self.options.similar_marker_combine,
                 backend=self.options.align.backend)
             marks.update(got)
         return marks

@@ -132,3 +132,66 @@ def test_sharded_run_matches_monolithic(world):
             == open(out2 / "demo.microbe_stat").read())
     assert (open(out1 / "demo.species.paf").read()
             == open(out2 / "demo.species.paf").read())
+
+
+def test_tunable_flags_reach_options():
+    """Every reference-named tunable flag must land on its ProfileOptions
+    field (reference argparse: bin/megapath_nano.py:5062-5128)."""
+    from megapath_nano_tpu.cli.main import build_parser, options_from_args
+
+    args = build_parser().parse_args([
+        "--query", "x.fq", "--db", "d",
+        "--min_alignment_score", "17",
+        "--species_id_min_aligned_bp", "123",
+        "--variable_region_percent", "40",
+        "--expected_max_depth_stdev", "4.5",
+        "--closing_expected_max_depth_stdev", "7.5",
+        "--max_alignment_noise_overlap", "60",
+        "--unique_alignment_threshold", "70",
+        "--reassignment_ratio", "0.07",
+        "--reassignment_error_rate", "0.03",
+        "--reassignment_as_threshold", "0.9",
+        "--similar_species_marker_num_genus", "5",
+        "--similar_species_marker_alignment_similarity_1", "99",
+        "--similar_species_marker_aligned_region_threshold_1", "60",
+        "--similar_species_marker_alignment_similarity_2", "90",
+        "--similar_species_marker_aligned_region_threshold_2", "80",
+        "--similar_species_marker_similarity_combine_logic", "and",
+        "--number_of_genus_to_perform_noise_projection", "2",
+        "--noise_projection_num_read_to_simulate", "500",
+        "--noise_projection_simulated_read_length_multiplier", "0.25",
+        "--human_filter_alignment_score", "900",
+        "--human_filter_alignment_score_percent", "80",
+        "--backend", "jnp",
+    ])
+    opt = options_from_args(args)
+    assert opt.align.min_alignment_score == 17
+    assert opt.min_aligned_bp_per_species == 123
+    assert opt.variable_region_percent == 0.40
+    assert opt.spike_stdev == 4.5
+    assert opt.closing_spike_stdev == 7.5
+    assert opt.noise_overlap_fraction == 0.60
+    assert opt.unique_as_ratio == 0.70
+    assert opt.reassign_ratio == 0.07
+    assert opt.reassign_error_rate == 0.03
+    assert opt.reassign_as_threshold == 0.9
+    assert opt.similar_marker_num_genus == 5
+    assert opt.similar_marker_cond1 == (0.99, 0.60)
+    assert opt.similar_marker_cond2 == (0.90, 0.80)
+    assert opt.similar_marker_combine == "and"
+    assert opt.noise_projection_num_genus == 2
+    assert opt.noise_projection_reads == 500
+    assert opt.noise_projection_read_length_multiplier == 0.25
+    assert opt.human_filter_score == 900
+    assert opt.human_filter_score_percent == 0.80
+
+    # reference defaults hold when flags are omitted
+    dflt = options_from_args(build_parser().parse_args(
+        ["--query", "x.fq", "--db", "d"]))
+    assert dflt.spike_stdev == 6.0 and dflt.closing_spike_stdev == 9.0
+    assert dflt.noise_overlap_fraction == 0.5
+    assert dflt.unique_as_ratio == 0.8
+    assert dflt.similar_marker_cond1 == (0.98, 0.5)
+    assert dflt.similar_marker_cond2 == (0.95, 0.75)
+    assert dflt.similar_marker_combine == "or"
+    assert dflt.noise_projection_reads == 10000

@@ -69,7 +69,7 @@ def test_devseed_overflow_falls_back_exactly(monkeypatch):
     """Tiny static caps force the counts-row overflow on every slice; the
     fallback (host-seeded re-run, async trailing waves in the pipelined
     path) must still produce output identical to the host path."""
-    tiny = staticmethod(lambda slice_n, read_max: (64, 64, 64))
+    tiny = staticmethod(lambda slice_n, read_max, occ=0.0: (64, 64, 64))
     monkeypatch.setattr(MinimizerAligner, "_devseed_caps", tiny)
 
     index, reads = _world(seed=13, n_reads=96)

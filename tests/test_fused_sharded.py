@@ -45,6 +45,26 @@ def test_shard_map_matches_single_index(n_shards):
         np.testing.assert_array_equal(a.data[col], b.data[col], err_msg=col)
 
 
+@pytest.mark.parametrize("n_data,n_shards", [(2, 2), (2, 4), (4, 2)])
+def test_shard_map_data_axis_matches_single_index(n_data, n_shards):
+    """Reads data-parallel over the "data" axis × index sharded over
+    "shard": output must stay field-identical to the single-index mapper,
+    including when the read count does not divide evenly into data blocks."""
+    genomes, names, reads = _world(seed=3, n_reads=50)   # 50 % n_data != 0
+    params = AlignParams(backend="jnp")
+    single = MinimizerAligner(MinimizerIndex.build(genomes, names),
+                              params=params)
+    a = single.map_reads(reads, emit_cigars=False)
+
+    mesh = make_mesh(n_shards=n_shards, n_data=n_data)
+    planes = ShardedIndexPlanes.build(genomes, names, n_shards)
+    sharded = ShardMapAligner(planes, mesh, params=params)
+    b = sharded.map_reads(reads)
+    assert len(a) == len(b) > 0
+    for col in a.data.dtype.names:
+        np.testing.assert_array_equal(a.data[col], b.data[col], err_msg=col)
+
+
 def test_shard_map_empty_shard_and_slicing():
     genomes, names, reads = _world(seed=5, n_genomes=2, n_reads=40)
     params = AlignParams(backend="jnp")
