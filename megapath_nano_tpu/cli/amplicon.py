@@ -147,6 +147,16 @@ def main(argv=None) -> int:
             all_calls.extend(calls)
     open(os.path.join(out, f"{args.output_prefix}.call.done"), "w").close()
 
+    # overlap-variant post-filter (reference: runClair-ensemble.sh:219-224
+    # pipes the merged VCF through clair/post_processing/overlap_variant.py)
+    from megapath_nano_tpu.variant.overlap import filter_overlapping_calls
+
+    n_before = len(all_calls)
+    all_calls = filter_overlapping_calls(all_calls)
+    if len(all_calls) != n_before:
+        log.message(f"overlap filter: {n_before - len(all_calls)} "
+                    "conflicting variants removed")
+
     vcf_path = os.path.join(out, f"{args.output_prefix}.vcf")
     write_vcf(vcf_path, all_calls, seq_names)
     log.message(f"{len(all_calls)} variants -> {vcf_path}")

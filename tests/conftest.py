@@ -17,10 +17,24 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# silence XLA's pseudo-feature mismatch warnings from cached CPU AOT loads
+# (+prefer-no-scatter/gather are compile preferences, not host ISA bits)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# CPU compiles of the big fused/shard_map programs, repeated in every xdist
+# worker and every run. Cache entries (compile time >= 2 s) are shared
+# across workers and across runs. Opt out with MPN_NO_COMPILE_CACHE=1.
+if not os.environ.get("MPN_NO_COMPILE_CACHE"):
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -119,3 +119,48 @@ def test_end_to_end_calling_with_trained_model(snv_world, tmp_path):
     body = [l for l in lines if not l.startswith("#")]
     assert len(body) == len(calls)
     assert all(len(l.split("\t")) == 10 for l in body)
+
+
+def test_overlap_variant_filter_reference_semantics():
+    """Overlap-variant post-filter (reference clair/post_processing/
+    overlap_variant.py, invoked runClair-ensemble.sh:219-224): a deletion
+    span covering the next variant's start conflicts; higher quality wins,
+    ties keep the later call; SNVs at distinct positions never conflict."""
+    from megapath_nano_tpu.variant.overlap import (
+        filter_overlapping_calls, filter_overlapping_records)
+
+    # record level: (chrom, pos1, ref, [alts], qual)
+    # deletion ACGT->A at pos 100 spans [99, 103); SNP at 102 conflicts
+    recs = [("c", 100, "ACGT", ["A"], 30.0),
+            ("c", 103, "G", ["T"], 20.0)]
+    assert filter_overlapping_records(recs) == [recs[0]]
+    # higher-quality later variant wins
+    recs2 = [("c", 100, "ACGT", ["A"], 10.0),
+             ("c", 103, "G", ["T"], 20.0)]
+    assert filter_overlapping_records(recs2) == [recs2[1]]
+    # tie keeps the later call (reference variant_to_output_for)
+    recs3 = [("c", 100, "ACGT", ["A"], 20.0),
+             ("c", 103, "G", ["T"], 20.0)]
+    assert filter_overlapping_records(recs3) == [recs3[1]]
+    # beyond the deletion span: both survive
+    recs4 = [("c", 100, "ACGT", ["A"], 30.0),
+             ("c", 104, "G", ["T"], 20.0)]
+    assert filter_overlapping_records(recs4) == recs4
+    # deletion vs deletion conflict
+    recs5 = [("c", 100, "ACGT", ["A"], 30.0),
+             ("c", 102, "GTA", ["G"], 40.0)]
+    assert filter_overlapping_records(recs5) == [recs5[1]]
+    # pure SNVs at different positions: no-op
+    recs6 = [("c", 100, "A", ["G"], 5.0), ("c", 101, "C", ["T"], 6.0)]
+    assert filter_overlapping_records(recs6) == recs6
+    # different chromosomes never conflict
+    recs7 = [("c1", 100, "ACGT", ["A"], 30.0),
+             ("c2", 101, "G", ["T"], 1.0)]
+    assert filter_overlapping_records(recs7) == recs7
+
+    # call-level wrapper: SNV-only sets pass through unchanged
+    from megapath_nano_tpu.variant.caller import VariantCall
+
+    calls = [VariantCall(0, 10, 1, "A", "1/1", 30.0, 20, 0.9),
+             VariantCall(0, 11, 2, "T", "0/1", 25.0, 18, 0.4)]
+    assert filter_overlapping_calls(calls) == calls
