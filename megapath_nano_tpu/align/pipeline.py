@@ -787,7 +787,7 @@ class MinimizerAligner:
         wtot_max = pow2(slice_n * read_max // 4)
         # anchors/winner budget: 0.5 on sparse indexes (measured 0.37 on
         # 6%-error ONT reads — mutations kill most true minimizer hits),
-        # (1 + occ) once spurious hits matter; rounded to wtot/8 multiples
+        # (1 + occ) once spurious hits matter; rounded to wtot/16 multiples
         # (static shapes stay stable: occ is fixed per index)
         frac = min(0.5 + 2.0 * occ, 4.0)
         gran = max(wtot_max // 16, 4096)

@@ -62,6 +62,12 @@ def tier_seed_params(similarity: float) -> tuple[int, int]:
     return TIER_SEEDS[-1][1:]
 
 
+# Bump whenever the computed beds change semantics (seeding tiers, chunking,
+# min_block, gap_break...): on-disk pair-bed caches written by an older
+# schema must be recomputed, not silently reused.
+BED_CACHE_SCHEMA = 2
+
+
 def chunk_genome(seq: np.ndarray, *, chunk: int = 10000,
                  overlap: int = 1000) -> list[np.ndarray]:
     """Tile a genome into overlapping pseudo-reads."""
@@ -148,7 +154,8 @@ def human_repetitive_bed(
             return np.zeros(0, BED_DTYPE)
         return merge_bed(np.concatenate(beds))
     if cache is not None and cache_key is not None:
-        return cache.get_or_compute(f"human_rep:{cache_key}@0.80", compute)
+        return cache.get_or_compute(
+            f"human_rep:{cache_key}@0.80#s{BED_CACHE_SCHEMA}", compute)
     return compute()
 
 
@@ -236,7 +243,7 @@ def microbe_repetitive_beds(
                 sim = sims[tier]
                 if cache is not None and name_of is not None:
                     key = (f"microbe_rep:{name_of[high]}->"
-                           f"{name_of[low]}@{sim}")
+                           f"{name_of[low]}@{sim}#s{BED_CACHE_SCHEMA}")
                     bed = cache.get_or_compute(
                         key, lambda: pair_bed(sim=sim))
                 else:
@@ -272,7 +279,7 @@ def variable_region_bed(
     With cache + cache_key the result is memoized on disk (the reference's
     `.var.bed` cache next to the assembly, :1627-1632)."""
     if cache is not None and cache_key is not None:
-        hit = cache.get(f"var:{cache_key}")
+        hit = cache.get(f"var:{cache_key}#s{BED_CACHE_SCHEMA}")
         if hit is not None:
             return hit
     others = [a for a in strain_seqs if a != chosen_assembly]
@@ -306,7 +313,7 @@ def variable_region_bed(
         well_bed[f] = well[f]
     out = subtract_bed(full, well_bed)
     if cache is not None and cache_key is not None:
-        cache.put(f"var:{cache_key}", out)
+        cache.put(f"var:{cache_key}#s{BED_CACHE_SCHEMA}", out)
     return out
 
 

@@ -30,8 +30,8 @@ def _is_snp(ref: str, alts: list[str]) -> bool:
 
 def _conflicts(first, second) -> bool:
     """first precedes second (same chrom, pos1 <= pos2)."""
-    chrom1, pos1, ref1, alts1, _ = first
-    chrom2, pos2, ref2, alts2, _ = second
+    chrom1, pos1, ref1, alts1 = first[:4]
+    chrom2, pos2, ref2, alts2 = second[:4]
     if chrom1 != chrom2:
         return False
     dlen = _max_deletion_length(ref1, alts1)
@@ -46,17 +46,20 @@ def _conflicts(first, second) -> bool:
 
 
 def filter_overlapping_records(records: list[tuple]) -> list[tuple]:
-    """records: position-sorted (chrom, pos_1based, ref, [alts], quality)
-    tuples. Returns the surviving subset in order (reference
-    filter_variants_with: compare each variant with the LAST KEPT one;
-    higher quality wins, ties keep the later)."""
+    """records: position-sorted (chrom, pos_1based, ref, [alts], quality,
+    *extra) tuples (trailing elements pass through untouched). Returns the
+    surviving subset in order (reference filter_variants_with: compare each
+    variant with the LAST KEPT one; higher quality wins, ties keep the
+    later). Qualities compare TRUNCATED to int — the reference's
+    variant_from parses qual as int(float(qual)), so fractional differences
+    do not break ties."""
     kept: list[tuple] = []
     for rec in records:
         if kept:
             last = kept[-1]
             a, b = (last, rec) if last[1] <= rec[1] else (rec, last)
             if _conflicts(a, b):
-                if not (last[4] > rec[4]):   # keep later on ties
+                if not (int(last[4]) > int(rec[4])):  # keep later on ties
                     kept.pop()
                     kept.append(rec)
                 continue
@@ -78,16 +81,6 @@ def filter_overlapping_calls(calls: list) -> list:
         recs.append((c.sequence_id, c.position + 1, ref, alts,
                      float(c.quality), i))
     recs.sort(key=lambda r: (r[0], r[1], r[5]))
-    slim = [(r[0], r[1], r[2], r[3], r[4]) for r in recs]
-    keep_idx = set()
-    kept = filter_overlapping_records(slim)
-    # map surviving records back to call indices (records are unique by
-    # construction order — pair them up positionally)
-    used = [False] * len(recs)
-    for k in kept:
-        for j, r in enumerate(recs):
-            if not used[j] and (r[0], r[1], r[2], r[3], r[4]) == k:
-                used[j] = True
-                keep_idx.add(r[5])
-                break
+    # the original call index rides through as the records' 6th element
+    keep_idx = {r[5] for r in filter_overlapping_records(recs)}
     return [c for i, c in enumerate(calls) if i in keep_idx]

@@ -96,13 +96,16 @@ def test_devseed_overflow_detection():
 
 
 def test_devseed_cap_sizing():
-    """Caps are pow2 (stable compiled shapes) and track the documented
+    """wtot/g_max are pow2 (stable compiled shapes); a_max is a wtot/16
+    multiple (pow2 only incidentally at occ=0); all track the documented
     density model: winner slots >= slice_n*read_max/4, chain groups >=
     2*slice_n (the extension runs at out_cap after post-chain compaction)."""
     for slice_n, read_max in [(256, 1024), (2048, 1024), (2048, 4096)]:
         wtot, a_max, g_max = MinimizerAligner._devseed_caps(slice_n, read_max)
-        for v in (wtot, a_max, g_max):
-            assert v & (v - 1) == 0, "caps must be powers of two"
+        for v in (wtot, g_max):
+            assert v & (v - 1) == 0, "wtot/g_max must be powers of two"
+        gran = max(wtot // 16, 4096)
+        assert a_max % gran == 0, "a_max must be a gran multiple"
         assert wtot >= slice_n * read_max // 4
         assert a_max >= wtot // 2
         assert g_max >= 2 * slice_n
