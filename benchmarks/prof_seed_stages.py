@@ -45,7 +45,7 @@ def main():
     aligner = MinimizerAligner(index, params=AlignParams())
     p = aligner.params
     aligner._device_refs(np.zeros(1, np.int32), 256)
-    keys32, pos_t, pos_ss, lut, lut_bits, n_bisect = \
+    keys32, pos_pair, lut2, runcnt, lut_bits, n_bisect = \
         aligner._device_index_planes()
     occ = aligner._index_occupancy()
     wtot_max, a_max, g_max = aligner._devseed_caps(N, L, occ)
@@ -76,32 +76,36 @@ def main():
 
     def prefix(stage):
         """Run build_groups stages up to `stage`, return scalar sum."""
-        def f(codes, qlens, keys32, pos_t, pos_ss, lut):
+        def f(codes, qlens, keys32, pos_pair, lut2, runcnt):
             n, L = codes.shape
-            win, Hflat, strand_flat = ds.sketch_device(codes, qlens, k=k, w=w)
+            neww, Hm, Pm, H = ds.sketch_winners(codes, qlens, k=k, w=w)
             if stage == "sketch":
-                return win.sum() + (Hflat // 7).sum().astype(jnp.int32)
-            woff = jnp.cumsum(win)
+                return neww.sum() + (Hm // 7).sum().astype(jnp.int32)
+            rid_plane = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[:, None], (n, L))
+            nf = neww.ravel()
+            woff = jnp.cumsum(nf.astype(jnp.int32))
             tot_w = woff[-1]
             slots = jnp.arange(wtot_max, dtype=jnp.int32)
-            flatpos = jnp.arange(n * L, dtype=jnp.int32)
-            dst = jnp.where(win == 1, woff - 1, wtot_max)
+            dst = jnp.where(nf, woff - 1, wtot_max)
+            flatwin = (rid_plane * L).ravel() + (Pm.ravel() >> 1)
             msrc2 = jnp.zeros(wtot_max, jnp.int32).at[dst].set(
-                (flatpos << 1) | strand_flat, mode="drop")
+                (flatwin << 1) | (Pm.ravel() & 1), mode="drop")
             msrc = msrc2 >> 1
             wvalid = slots < jnp.minimum(tot_w, wtot_max)
-            mH = jnp.where(wvalid, Hflat[msrc], jnp.uint32(0xFFFFFFFF))
+            mH = jnp.where(wvalid, H.ravel()[msrc], jnp.uint32(0xFFFFFFFF))
             if stage == "compact":
                 return (mH // 9).sum().astype(jnp.int32) + msrc2.sum()
             mHs = mH.astype(jnp.int32)
             shift = 2 * k - lut_bits
             b = jnp.clip(jnp.where(mHs >= 0, mHs >> shift, 0), 0,
                          (1 << lut_bits) - 1)
-            lo0 = lut[b]
-            hi0 = lut[b + 1]
-            lo = ds._bounded_lower_bound(keys32, mHs, lo0, hi0, n_bisect)
-            hi = ds._bounded_lower_bound(keys32, mHs + 1, lo0, hi0, n_bisect)
-            cnt0 = hi - lo
+            bounds = lut2[b]
+            lo = ds._bounded_lower_bound(keys32, mHs, bounds[:, 0],
+                                         bounds[:, 1], n_bisect)
+            loc = jnp.clip(lo, 0, keys32.shape[0] - 1)
+            present = (keys32[loc] == mHs) & (lo < keys32.shape[0])
+            cnt0 = jnp.where(present, runcnt[loc].astype(jnp.int32), 0)
             mcnt = jnp.where(wvalid & (cnt0 > 0) & (cnt0 <= max_occ), cnt0, 0)
             if stage == "lookup":
                 return mcnt.sum() + lo.sum()
@@ -112,14 +116,17 @@ def main():
             dst_a = jnp.where(mcnt > 0, aoff_exc, a_max)
             am0 = jnp.zeros(a_max, jnp.int32).at[dst_a].max(slots,
                                                             mode="drop")
-            am = jax.lax.associative_scan(jnp.maximum, am0)
+            am = ds._blocked_cummax(am0)
             avalid = aslots < jnp.minimum(tot_a, a_max)
-            within = aslots - aoff_exc[am]
-            pidx = jnp.clip(lo[am] + within, 0, pos_t.shape[0] - 1)
-            a_t = pos_t[pidx]
-            ss = pos_ss[pidx]
+            wtrip = jnp.stack([msrc2, aoff_exc, lo], axis=1)
+            wp = wtrip[am]
+            w2 = wp[:, 0]
+            within = aslots - wp[:, 1]
+            pidx = jnp.clip(wp[:, 2] + within, 0, pos_pair.shape[0] - 1)
+            tp = pos_pair[pidx]
+            a_t = tp[:, 0]
+            ss = tp[:, 1]
             a_seq = ss >> 1
-            w2 = msrc2[am]
             wsrc = w2 >> 1
             a_rid = wsrc // L
             qp = wsrc % L
@@ -135,7 +142,7 @@ def main():
             if stage == "sort":
                 return k1s.sum() + st.sum() + sq.sum()
             out = ds.build_groups_device(
-                codes, qlens, keys32, pos_t, pos_ss, lut, k=k, w=w,
+                codes, qlens, keys32, pos_pair, lut2, runcnt, k=k, w=w,
                 max_occ=max_occ, min_group_anchors=mga, gap_break=gap_break,
                 cap=cap, seq_bits=seq_bits, lut_bits=lut_bits,
                 n_bisect=n_bisect, wtot_max=wtot_max, a_max=a_max,
@@ -147,7 +154,8 @@ def main():
     prev = 0.0
     for s in stages:
         f = prefix(s)
-        ms = timeit(lambda: f(codes, qlens_d, keys32, pos_t, pos_ss, lut))
+        ms = timeit(lambda: f(codes, qlens_d, keys32, pos_pair, lut2,
+                              runcnt))
         print(f"{s:8s} cum {ms:7.1f} ms   delta {ms - prev:7.1f} ms",
               flush=True)
         prev = ms

@@ -101,7 +101,8 @@ def chain_scores(
         jnp.full((n, window), -1, jnp.int32),
     )
     _, (f_t, parent_t) = jax.lax.scan(body, init,
-                                      jnp.arange(a, dtype=jnp.int32))
+                                      jnp.arange(a, dtype=jnp.int32),
+                                      unroll=4)
     f = jnp.transpose(f_t)          # (N, A)
     parent = jnp.transpose(parent_t)
     f_masked = jnp.where(valid, f, NEG)
@@ -176,8 +177,10 @@ def chain_and_extents(q_pos, t_pos, n_anchors, *, window: int = 32,
         jnp.zeros((n, window), jnp.int32),
         jnp.zeros((n, window), jnp.int32),
     )
+    # unroll: each step is ~15 small ops on (N, window) planes — per-step
+    # launch overhead, not FLOPs, dominates; unrolling lets XLA fuse runs
     _, (f_t, qmin_t, tmin_t, cnt_t) = jax.lax.scan(
-        body, init, jnp.arange(a, dtype=jnp.int32))
+        body, init, jnp.arange(a, dtype=jnp.int32), unroll=4)
     f = jnp.transpose(f_t)
     f_masked = jnp.where(valid, f, NEG)
     best = jnp.max(f_masked, axis=1)

@@ -17,9 +17,11 @@ mixer is exact in uint32 for masks <= 2**30: every masked step only needs the
 low 30 bits of sums/shifts, which mod-2**32 arithmetic preserves.
 
 Everything here is shape-static (caps passed as static ints) and runs inside
-the fused map dispatch; overflow counts are returned so the host can fall
-back to the host-seeded path for a slice that exceeds a cap (correctness is
-never silently lost).
+the fused map dispatch. Overflow never silently loses candidates: every cap
+truncates a SUFFIX of read ids (winners, anchors, groups and kept extension
+rows are all produced in read-id-major order), and the counts row carries
+the minimum affected read id so the host re-runs ONLY the affected reads
+through the exact host-seeded path (align/pipeline partial redo).
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ import jax.numpy as jnp
 # Plain Python int (not a jnp scalar): importing this module must not force
 # JAX backend initialization; jnp weak-types it in expressions.
 I32_MAX = 2 ** 31 - 1
+# "no read affected" sentinel for the min-affected-rid overflow channel
+NO_RID = 1 << 29
 
 
 def hash32(key, kbits: int):
@@ -48,16 +52,36 @@ def hash32(key, kbits: int):
     return key
 
 
-def sketch_device(codes, qlens, *, k: int, w: int):
-    """(k,w) minimizers of every read in a (n, L) code matrix.
+def _shift_row(x, s: int, fill):
+    """Row-local right shift along axis 1: out[:, i] = x[:, i-s]."""
+    return jnp.pad(x, ((0, 0), (s, 0)), constant_values=fill)[:, :-s] \
+        if s else x
 
-    Returns flat (n*L,) arrays indexed by absolute position j = rid*L + pos:
-    win (int32 0/1 — position j's k-mer is an emitted minimizer), H (uint32
-    hash, garbage where win=0), strand (int32 0/1). Semantics identical to
-    cpp/mpn_minimizer.cc sketch_sequence: canonical min(fwd, rc), strand-tie
-    windows skipped, window minimum with earliest-position tie rule, one emit
-    per distinct winner (the consecutive-window dedupe falls out of marking
-    distinct argmin positions: a winner holds a contiguous run of windows).
+
+def sketch_winners(codes, qlens, *, k: int, w: int):
+    """(k,w) minimizer winners of every read in an (n, L) code matrix,
+    kept in POSITION-i space (no scatter — the caller compacts).
+
+    Returns (neww, Hm, Pm, H), all (n, L):
+      neww  bool  — position i is the FIRST emitting window of a new winner
+      Hm    uint32 — the winner's hash at that window (window lex-min)
+      Pm    int32  — the winner packed as (pos << 1 | strand)
+      H     uint32 — every position's own canonical-kmer hash (INF where
+                     invalid) — lets the compaction GATHER winner hashes at
+                     their positions instead of scattering a second plane
+
+    Semantics identical to cpp/mpn_minimizer.cc sketch_sequence: canonical
+    min(fwd, rc), strand-tie windows skipped, window minimum with
+    earliest-position tie rule, one emit per distinct winner. The
+    consecutive-window dedupe relies on the sliding-window-argmin positions
+    being non-decreasing within a row: each winner's emitting windows form
+    one contiguous run (also across invalid-window gaps — a gap window
+    cannot contain a valid winner position, see the run analysis in
+    tests/test_devseed.py), so marking run starts is exact.
+
+    The window lex-min itself runs in O(log w) doubling rounds
+    (M_{2s}[i] = min(M_s[i-s], M_s[i]); final overlap-combine for non-pow2
+    w — min is idempotent, overlap is harmless) instead of w-1 shift rounds.
     """
     assert 1 <= k <= 15, (
         f"device sketch requires k <= 15 (hash fits 30 bits); got k={k}")
@@ -70,7 +94,7 @@ def sketch_device(codes, qlens, *, k: int, w: int):
     kf = jnp.zeros((n, L), jnp.uint32)
     kr = jnp.zeros((n, L), jnp.uint32)
     for d in range(k):   # kmer ending at i uses bases i-k+1..i
-        shifted = jnp.pad(c32, ((0, 0), (d, 0)))[:, :L] if d else c32
+        shifted = _shift_row(c32, d, 0)
         kf = kf | (shifted << jnp.uint32(2 * d))
         kr = kr | ((jnp.uint32(3) - shifted) << jnp.uint32(2 * (k - 1 - d)))
 
@@ -84,35 +108,90 @@ def sketch_device(codes, qlens, *, k: int, w: int):
     H = hash32(canon, 2 * k)
     INF = jnp.uint32(0xFFFFFFFF)
     H = jnp.where(validk & ~tie, H, INF)
-    packed = (pos_i << 1) | strand   # query packed: pos:...:strand (seq_id 0)
+    packed = (pos_i << 1) | strand   # query packed: pos:...:strand
 
     # window lex-min over candidates j in [i-w+1, i] by (hash, packed):
-    # earliest position wins ties — the monotonic-deque semantics.
-    Hm, Pm, Jm = H, packed, jnp.broadcast_to(pos_i, (n, L))
-    for s in range(1, w):
-        Hs = jnp.pad(H, ((0, 0), (s, 0)), constant_values=INF)[:, :L]
-        Ps = jnp.pad(packed, ((0, 0), (s, 0)))[:, :L]
-        Js = jnp.pad(jnp.broadcast_to(pos_i, (n, L)), ((0, 0), (s, 0)))[:, :L]
+    # earliest position wins ties. Doubling rounds; the winner's position
+    # rides inside Pm, so no third plane is carried.
+    def cmb(Hm, Pm, s):
+        Hs = _shift_row(Hm, s, INF)
+        Ps = _shift_row(Pm, s, 0)
         better = (Hs < Hm) | ((Hs == Hm) & (Ps < Pm))
-        Hm = jnp.where(better, Hs, Hm)
-        Pm = jnp.where(better, Ps, Pm)
-        Jm = jnp.where(better, Js, Jm)
+        return jnp.where(better, Hs, Hm), jnp.where(better, Ps, Pm)
+
+    Hm, Pm = H, packed
+    span = 1
+    while span * 2 <= w:
+        Hm2, Pm2 = cmb(Hm, Pm, span)
+        # (Hm2 covers 2*span ending at i) — reuse variables
+        Hm, Pm = Hm2, Pm2
+        span *= 2
+    if span < w:
+        # overlap combine: window w = [i-w+1, i] ⊆ span∪span shifted by w-span
+        Hm, Pm = cmb(Hm, Pm, w - span)
 
     emit = (pos_i >= k + w - 2) & inread & (Hm != INF)
-    rows = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None] * L, (n, L))
+    emit_prev = _shift_row(emit, 1, False)
+    Pm_prev = _shift_row(Pm, 1, -1)
+    neww = emit & (~emit_prev | (Pm != Pm_prev))
+    return neww, Hm, Pm, H
+
+
+def sketch_device(codes, qlens, *, k: int, w: int):
+    """Compat/parity wrapper over sketch_winners with the original output
+    layout — flat (n*L,) arrays indexed by absolute position j = rid*L + pos:
+    win (int32 0/1 — position j's k-mer is an emitted minimizer), H (uint32
+    hash of every position's canonical k-mer, garbage where win=0), strand
+    (int32 0/1). Used by the parity tests; production (build_groups_device)
+    uses sketch_winners directly and never materializes position space."""
+    n, L = codes.shape
+    neww, Hm, Pm, H = sketch_winners(codes, qlens, k=k, w=w)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None] * L
+    j = rows + (Pm >> 1)
     win = jnp.zeros(n * L, jnp.int32).at[
-        (rows + Jm).ravel()].max(emit.ravel().astype(jnp.int32))
+        jnp.where(neww, j, n * L).ravel()].set(1, mode="drop")
+
+    # per-position strand plane (the old API's companion); H is returned
+    # with INF at invalid positions, which only strengthens the old
+    # contract ("garbage where win=0")
+    pos_i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    inread = pos_i < qlens[:, None]
+    good = (codes >= 0) & (codes < 4) & inread
+    c32 = jnp.where(good, codes, 0).astype(jnp.uint32)
+    kf = jnp.zeros((n, L), jnp.uint32)
+    kr = jnp.zeros((n, L), jnp.uint32)
+    for d in range(k):
+        shifted = _shift_row(c32, d, 0)
+        kf = kf | (shifted << jnp.uint32(2 * d))
+        kr = kr | ((jnp.uint32(3) - shifted) << jnp.uint32(2 * (k - 1 - d)))
+    strand = (kr < kf).astype(jnp.int32)
     return win, H.ravel(), strand.ravel()
+
+
+def _blocked_cummax(x, block: int = 256):
+    """Cumulative max over a 1-D int32 array via a 2-level block
+    decomposition: intra-block scan on a (B, block) view + a tiny carry
+    scan over block maxima. ~log2(block) full-size ops instead of
+    associative_scan's ~log2(n) rounds — the forward-fill is one of the
+    seed stage's hottest ops."""
+    n = x.shape[0]
+    if n % block:
+        return jax.lax.associative_scan(jnp.maximum, x)
+    x2 = x.reshape(n // block, block)
+    intra = jax.lax.associative_scan(jnp.maximum, x2, axis=1)
+    carry = jax.lax.associative_scan(jnp.maximum, intra[:, -1])
+    carry = jnp.concatenate([jnp.full(1, -(2 ** 31) + 1, x.dtype),
+                             carry[:-1]])
+    return jnp.maximum(intra, carry[:, None]).reshape(n)
 
 
 def _bounded_lower_bound(keys, q, lo, hi, steps: int):
     """First index in sorted `keys` restricted to [lo, hi) whose value is
     >= q (returns hi when none), via `steps` unrolled bisection rounds —
-    exact whenever hi - lo <= 2**steps - ... precisely: steps >=
-    (max_range).bit_length(). Replaces jnp.searchsorted over the whole
-    table (O(log N) serial gathers) with O(log max_bucket) gathers after a
-    direct-addressed bucket LUT narrows the range."""
+    exact whenever steps >= (max_range).bit_length(). Replaces
+    jnp.searchsorted over the whole table (O(log N) serial gathers) with
+    O(log max_bucket) gathers after a direct-addressed bucket LUT narrows
+    the range."""
     K = keys.shape[0]
     for _ in range(steps):
         cont = lo < hi
@@ -124,19 +203,27 @@ def _bounded_lower_bound(keys, q, lo, hi, steps: int):
     return lo
 
 
-def build_groups_device(codes, qlens, keys32, pos_t, pos_ss, lut, *, k: int,
-                        w: int, max_occ: int, min_group_anchors: int,
+def build_groups_device(codes, qlens, keys32, pos_pair, lut2, runcnt, *,
+                        k: int, w: int, max_occ: int, min_group_anchors: int,
                         gap_break: int, cap: int, seq_bits: int,
                         lut_bits: int, n_bisect: int,
                         wtot_max: int, a_max: int, g_max: int):
     """Full device seed stage: sketch → bucket-LUT hash lookup → anchor
     expansion → (read, seq, strand, gap)-grouping → capped even subsample.
 
-    keys32: sorted int32 hash table (values < 2**30); pos_t / pos_ss: per-hit
-    target position and (seq_id << 1 | strand) planes, index order. lut:
-    (2**lut_bits + 1,) int32 — lut[b] = first table index whose key's top
-    lut_bits bits are >= b (built host-side once per index); n_bisect =
-    max_bucket_size.bit_length() refinement rounds inside a bucket.
+    keys32: sorted int32 hash table (values < 2**30). pos_pair: (K, 2) int32
+    — per-hit [target position, seq_id << 1 | strand] interleaved so both
+    companions come back in ONE gather (every 512Ki-probe gather costs
+    milliseconds on v5e; pair planes halve the gather count at zero extra
+    memory). lut2: (2**lut_bits, 2) int32 — row b is [first table index
+    whose key's top lut_bits bits are >= b, same for b+1] (built host-side
+    once per index); n_bisect = max_bucket_size.bit_length() refinement
+    rounds inside a bucket.
+    runcnt: per-table-entry uint8 — at the FIRST entry of each equal-key
+    run, the run length clipped to 255 (garbage elsewhere). One gather of
+    runcnt at the lower bound replaces the second (upper-bound) bisection;
+    requires max_occ < 255 (gated by the caller) so the clip can never
+    admit a truncated count.
 
     Compaction/expansion use scatters + an associative scan rather than
     searchsorted: XLA lowers searchsorted to ~log2(table) serial gather
@@ -146,8 +233,10 @@ def build_groups_device(codes, qlens, keys32, pos_t, pos_ss, lut, *, k: int,
     Returns (qg, tg, cnt, rid, seqid, strand, t_base, counts) where the first
     seven mirror align/anchors.py pack_groups_flat + group identities
     (shapes (g_max, cap) / (g_max,)), and counts = int32 [n_winners,
-    n_anchors, n_groups_kept] for host-side overflow detection against
-    (wtot_max, a_max, g_max).
+    n_anchors, n_groups_kept, min_affected_rid]. min_affected_rid is the
+    smallest read id whose candidates were truncated by ANY cap (NO_RID
+    when none): every cap truncates a read-id-major suffix, so reads below
+    it are bit-exact and only reads at/above it need the host redo.
     """
     n, L = codes.shape
     # int32 identity-key safety (trace-time; all operands are static):
@@ -158,61 +247,78 @@ def build_groups_device(codes, qlens, keys32, pos_t, pos_ss, lut, *, k: int,
     assert n * (1 << (seq_bits + 1)) < I32_MAX, (
         f"identity key overflow: n_reads={n} seq_bits={seq_bits}")
     assert 2 * n * L < I32_MAX, f"packed winner slot overflow: {n}x{L}"
-    win, Hflat, strand_flat = sketch_device(codes, qlens, k=k, w=w)
+    assert max_occ < 255, "runcnt clip requires max_occ < 255"
+    neww, Hm, Pm, H = sketch_winners(codes, qlens, k=k, w=w)
+    rid_plane = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, L))
+    BIGRID = jnp.int32(NO_RID)
 
-    # compact winners into wtot_max slots (slot s -> flat position index):
-    # winner j goes to slot cumsum(win)[j] - 1 — one scatter, no search.
-    # The scatter value packs (flat position << 1 | strand) so the strand
-    # needs no second gather (512Ki-probe gathers cost ~4 ms each here);
-    # 2 * n * L < 2**31 is implied by the identity-key assert above.
-    woff = jnp.cumsum(win)
+    # compact winners into wtot_max slots (slot s -> winner s in read-major
+    # order): winner run-start i goes to slot cumsum(neww)[i] - 1 — ONE
+    # scatter of the packed source (flat position << 1 | strand, == rid*L +
+    # pos of the winner); the winner hash comes back by GATHERING the H
+    # plane at the scattered positions (a 512Ki gather is ~2x cheaper than
+    # a second 2M-update scatter).
+    nf = neww.ravel()
+    woff = jnp.cumsum(nf.astype(jnp.int32))
     tot_w = woff[-1]
-    slots = jnp.arange(wtot_max, dtype=jnp.int32)
-    flatpos = jnp.arange(n * L, dtype=jnp.int32)
-    dst = jnp.where(win == 1, woff - 1, wtot_max)   # out-of-range -> dropped
+    dst = jnp.where(nf, woff - 1, wtot_max)   # out-of-range -> dropped
+    flatwin = (rid_plane * L).ravel() + (Pm.ravel() >> 1)
     msrc2 = jnp.zeros(wtot_max, jnp.int32).at[dst].set(
-        (flatpos << 1) | strand_flat, mode="drop")
+        (flatwin << 1) | (Pm.ravel() & 1), mode="drop")
     msrc = msrc2 >> 1
+    slots = jnp.arange(wtot_max, dtype=jnp.int32)
     wvalid = slots < jnp.minimum(tot_w, wtot_max)
-    mH = jnp.where(wvalid, Hflat[msrc], jnp.uint32(0xFFFFFFFF))
+    mH = jnp.where(wvalid, H.ravel()[msrc], jnp.uint32(0xFFFFFFFF))
+    minrid_w = jnp.min(jnp.where(nf & (woff > wtot_max),
+                                 rid_plane.ravel(), BIGRID))
 
     # lookup: int32 view is order-preserving (valid hashes < 2**30; the
-    # 0xFFFFFFFF sentinel becomes -1 -> clipped bucket, masked by wvalid).
-    # hi = lower_bound(h + 1): equal keys share a bucket, so both bounds lie
-    # inside [lut[b], lut[b+1]].
+    # 0xFFFFFFFF sentinel becomes -1 -> clipped bucket, never present in the
+    # table). Bucket bounds come back in ONE row gather of the paired LUT;
+    # cnt comes from the runcnt plane at the lower bound.
     mHs = mH.astype(jnp.int32)
     shift = 2 * k - lut_bits
     b = jnp.clip(jnp.where(mHs >= 0, mHs >> shift, 0), 0,
                  (1 << lut_bits) - 1)
-    lo0 = lut[b]
-    hi0 = lut[b + 1]
+    bounds = lut2[b]
+    lo0 = bounds[:, 0]
+    hi0 = bounds[:, 1]
     lo = _bounded_lower_bound(keys32, mHs, lo0, hi0, n_bisect)
-    hi = _bounded_lower_bound(keys32, mHs + 1, lo0, hi0, n_bisect)
-    cnt0 = hi - lo
+    loc = jnp.clip(lo, 0, keys32.shape[0] - 1)
+    present = (keys32[loc] == mHs) & (lo < keys32.shape[0])
+    cnt0 = jnp.where(present, runcnt[loc].astype(jnp.int32), 0)
     mcnt = jnp.where(wvalid & (cnt0 > 0) & (cnt0 <= max_occ), cnt0, 0)
 
     # expand hits into a_max anchor slots: scatter each winner's slot id at
     # its exclusive offset, forward-fill with a running max (winner slots are
-    # increasing), then within-winner rank by subtraction
+    # increasing), then within-winner rank by subtraction. The per-winner
+    # companions (packed source, table lower bound) ride ONE pair gather.
     aoff = jnp.cumsum(mcnt)
     tot_a = aoff[-1]
     aoff_exc = aoff - mcnt
     aslots = jnp.arange(a_max, dtype=jnp.int32)
     dst_a = jnp.where(mcnt > 0, aoff_exc, a_max)    # out-of-range -> dropped
     am0 = jnp.zeros(a_max, jnp.int32).at[dst_a].max(slots, mode="drop")
-    am = jax.lax.associative_scan(jnp.maximum, am0)
+    am = _blocked_cummax(am0)
     avalid = aslots < jnp.minimum(tot_a, a_max)
-    within = aslots - aoff_exc[am]
-    pidx = jnp.clip(lo[am] + within, 0, pos_t.shape[0] - 1)
-    a_t = pos_t[pidx]
-    ss = pos_ss[pidx]
+    wtrip = jnp.stack([msrc2, aoff_exc, lo], axis=1)
+    wp = wtrip[am]
+    w2 = wp[:, 0]
+    within = aslots - wp[:, 1]
+    pidx = jnp.clip(wp[:, 2] + within, 0, pos_pair.shape[0] - 1)
+    tp = pos_pair[pidx]
+    a_t = tp[:, 0]
+    ss = tp[:, 1]
     a_seq = ss >> 1
-    w2 = msrc2[am]          # one gather recovers (rid, qpos, strand)
     wsrc = w2 >> 1
     a_rid = wsrc // L
     qp = wsrc % L
     a_strand = (ss & 1) ^ (w2 & 1)
     a_q = jnp.where(a_strand == 1, qlens[a_rid] + (k - 2) - qp, qp)
+    rid_slot = msrc // L
+    minrid_a = jnp.min(jnp.where((mcnt > 0) & (aoff > a_max),
+                                 rid_slot, BIGRID))
 
     # sort by (rid, seq, strand, t, q): identity packs into one int32 key
     key1 = jnp.where(
@@ -240,17 +346,15 @@ def build_groups_device(codes, qlens, keys32, pos_t, pos_ss, lut, *, k: int,
     kgid = jnp.cumsum(kg_start.astype(jnp.int32)) - 1
     n_groups_kept = kgid[-1] + 1
     ar = jnp.arange(a_max, dtype=jnp.int32)
+    minrid_g = jnp.min(jnp.where(kg_start & (kgid >= g_max), srid, BIGRID))
 
     tgt = jnp.where(kg_start, kgid, g_max)   # out-of-range rows dropped
-    def scat(x):
-        return jnp.zeros(g_max, jnp.int32).at[tgt].set(x, mode="drop")
-
-    g_start = scat(ar)
-    g_size = scat(asize)
-    g_rid = scat(srid)
-    g_seq = scat(sseq)
-    g_strand = scat(sstrand)
-    g_tbase = scat(st)
+    # ONE stacked scatter for all six per-group fields (six separate
+    # 294Ki-update scatters cost ~3 ms each)
+    gvals = jnp.stack([ar, asize, srid, sseq, sstrand, st], axis=1)
+    g_all = jnp.zeros((g_max, 6), jnp.int32).at[tgt].set(gvals, mode="drop")
+    g_start, g_size, g_rid, g_seq, g_strand, g_tbase = (
+        g_all[:, i] for i in range(6))
     g_m = jnp.minimum(g_size, cap)
 
     # even subsample (pack_groups_flat's pick: c*(size-1)//(m-1), endpoints
@@ -261,8 +365,11 @@ def build_groups_device(codes, qlens, keys32, pos_t, pos_ss, lut, *, k: int,
                          c * (g_size[:, None] - 1) // denom, 0)
     src = jnp.clip(g_start[:, None] + src_rank, 0, a_max - 1)
     amask = c < g_m[:, None]
-    qg = jnp.where(amask, sq[src], 0)
-    tg = jnp.where(amask, st[src] - g_tbase[:, None], 0)
+    qtpair = jnp.stack([sq, st], axis=1)     # one pair gather, not two
+    qt = qtpair[src]
+    qg = jnp.where(amask, qt[..., 0], 0)
+    tg = jnp.where(amask, qt[..., 1] - g_tbase[:, None], 0)
 
-    counts = jnp.stack([tot_w, tot_a, n_groups_kept])
+    minrid = jnp.minimum(jnp.minimum(minrid_w, minrid_a), minrid_g)
+    counts = jnp.stack([tot_w, tot_a, n_groups_kept, minrid])
     return qg, tg, g_m, g_rid, g_seq, g_strand, g_tbase, counts

@@ -143,7 +143,9 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
     banded extension. Used by both the host-seeded dispatch (anchors uploaded
     ragged) and the device-seeded dispatch (anchors computed on device).
 
-    Returns ((G, 16) uint16 row matrix, n_keep int32). Row layout
+    Returns ((G, 16) uint16 row matrix, n_keep int32, minrid_out int32 —
+    the smallest read id whose kept rows were truncated by ext_cap,
+    NO_RID when none or when ext_cap is None). Row layout
     (FUSED_COLS): score, end_i, end_j, match, edit, begin_i, begin_j, keep,
     qs, w_lo_lo16, w_lo_hi16, rid, seq_id, strand, 0, 0. Every value provably
     fits uint16 (the fused gate guarantees read_max + band < 2**15, so
@@ -179,7 +181,15 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
     keep = (best >= min_chain_score) & (rank < max_per_read) & (cnt > 0)
     n_keep = jnp.sum(keep.astype(jnp.int32))
 
+    from megapath_nano_tpu.align.device_seed import NO_RID
+    minrid_out = jnp.int32(NO_RID)
     if ext_cap is not None:
+        # rows are read-id-major (device seeding sorts by rid-major key1),
+        # so ext_cap truncation drops a rid suffix; record its start for
+        # the host's partial redo
+        rank_keep = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        minrid_out = jnp.min(jnp.where(keep & (rank_keep >= ext_cap),
+                                       rid, jnp.int32(NO_RID)))
         # post-chain compaction (device-seeded path): the expensive stages —
         # window gathers + banded extension — run only on the kept rows,
         # compacted to ext_cap (stable, so group order survives). n_keep >
@@ -238,7 +248,7 @@ def _fused_tail(codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
                        jnp.clip(best, 0, (1 << 15) - 1), zero],
                       axis=1)
     out = jnp.concatenate([full, extra], axis=1).astype(jnp.uint16)
-    return out, n_keep
+    return out, n_keep, minrid_out
 
 
 # _fused_tail row layout (uint16 columns)
@@ -248,21 +258,23 @@ FUSED_COLS = 16
 
 
 def _pack_counts_row(counts_i32):
-    """Pack a (4,) int32 counts vector into one (1, FUSED_COLS) uint16 row
+    """Pack a (5,) int32 counts vector into one (1, FUSED_COLS) uint16 row
     (lo/hi halves interleaved) — appended to the stats matrix so counts ride
-    the same device→host transfer (each separate fetch costs a fixed RTT)."""
+    the same device→host transfer (each separate fetch costs a fixed RTT).
+    Layout: [tot_winners, tot_anchors, n_groups_kept, n_keep,
+    min_affected_rid]."""
     import jax.numpy as jnp
 
     row = jnp.zeros(FUSED_COLS, jnp.int32)
-    row = row.at[0:8:2].set(counts_i32 & 0xFFFF)
-    row = row.at[1:8:2].set((counts_i32 >> 16) & 0xFFFF)
+    row = row.at[0:10:2].set(counts_i32 & 0xFFFF)
+    row = row.at[1:10:2].set((counts_i32 >> 16) & 0xFFFF)
     return row.astype(jnp.uint16)[None, :]
 
 
 def _unpack_counts_row(row_u16):
-    """Host-side inverse of _pack_counts_row: (FUSED_COLS,) uint16 → (4,)."""
+    """Host-side inverse of _pack_counts_row: (FUSED_COLS,) uint16 → (5,)."""
     r = row_u16.astype(np.int64)
-    return r[0:8:2] | (r[1:8:2] << 16)
+    return r[0:10:2] | (r[1:10:2] << 16)
 
 
 @functools.partial(
@@ -284,9 +296,12 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
 
     gmeta rows (int32): rid, seq_id, strand, t_base, n_anchors.
     Returns (G+1, FUSED_COLS) uint16: G _fused_tail rows + a counts row
-    [0, 0, 0, n_keep] (this path has no caps, so only n_keep is meaningful).
+    [0, 0, 0, n_keep, NO_RID] (this path has no caps: nothing truncates, so
+    no read is ever affected).
     """
     import jax.numpy as jnp
+
+    from megapath_nano_tpu.align.device_seed import NO_RID
 
     rid, seqid, strand, t_base, cnt = (gmeta[i] for i in range(5))
     # rebuild padded anchor matrices from the ragged upload
@@ -297,7 +312,7 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
     qg = jnp.where(a_mask, flat_q[srcs].astype(jnp.int32), 0)
     tg = jnp.where(a_mask, flat_t[srcs].astype(jnp.int32), 0)
     codes = _unpack_reads(packed2, exc_rid, exc_pos)
-    out, n_keep = _fused_tail(
+    out, n_keep, _minrid = _fused_tail(
         codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
         seq_data, seq_offsets, seq_lengths, k=k, q_max=q_max, t_max=t_max,
         band=band, match=match, mismatch=mismatch, gap_open=gap_open,
@@ -305,7 +320,7 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
         min_chain_score=min_chain_score, max_per_read=max_per_read,
         window_pad=window_pad)
     zero = jnp.zeros((), jnp.int32)
-    counts = jnp.stack([zero, zero, zero, n_keep])
+    counts = jnp.stack([zero, zero, zero, n_keep, jnp.int32(NO_RID)])
     return jnp.concatenate([out, _pack_counts_row(counts)], axis=0)
 
 
@@ -318,7 +333,8 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
                      "gap_open", "gap_extend", "batch_tile", "backend",
                      "min_chain_score", "max_per_read", "window_pad"))
 def _fused_map_dispatch_devseed(packed2, exc_rid, exc_pos, qlens, keys32,
-                                pos_t, pos_ss, lut, seq_data, seq_offsets,
+                                pos_pair, lut2, runcnt, seq_data,
+                                seq_offsets,
                                 seq_lengths, *, k, w, max_occ,
                                 min_group_anchors, gap_break, cap, seq_bits,
                                 lut_bits, n_bisect,
@@ -336,10 +352,12 @@ def _fused_map_dispatch_devseed(packed2, exc_rid, exc_pos, qlens, keys32,
     rows are all that ships back over the link.
 
     Returns (out_cap+1, FUSED_COLS) uint16: compacted _fused_tail rows + a
-    counts row [tot_winners, tot_anchors, n_groups_kept, n_keep]. The host
-    must re-run a slice through the host-seeded path when any count exceeds
-    its cap (wtot_max / a_max / g_max / out_cap) — caps are static shapes, so
-    overflow means silently dropped candidates, never an error.
+    counts row [tot_winners, tot_anchors, n_groups_kept, n_keep,
+    min_affected_rid]. Caps are static shapes, so exceeding one silently
+    truncates candidates — but every truncation drops a read-id-major
+    SUFFIX, and min_affected_rid records where it starts: rows for reads
+    below it are bit-exact, and the host re-runs only reads at/above it
+    through the exact host-seeded path (partial redo).
     """
     import jax.numpy as jnp
 
@@ -347,18 +365,20 @@ def _fused_map_dispatch_devseed(packed2, exc_rid, exc_pos, qlens, keys32,
 
     codes = _unpack_reads(packed2, exc_rid, exc_pos)
     qg, tg, cnt, rid, seqid, strand, t_base, dcounts = build_groups_device(
-        codes, qlens, keys32, pos_t, pos_ss, lut, k=k, w=w, max_occ=max_occ,
+        codes, qlens, keys32, pos_pair, lut2, runcnt, k=k, w=w,
+        max_occ=max_occ,
         min_group_anchors=min_group_anchors, gap_break=gap_break, cap=cap,
         seq_bits=seq_bits, lut_bits=lut_bits, n_bisect=n_bisect,
         wtot_max=wtot_max, a_max=a_max, g_max=g_max)
-    out, n_keep = _fused_tail(
+    out, n_keep, minrid_out = _fused_tail(
         codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
         seq_data, seq_offsets, seq_lengths, k=k, q_max=q_max, t_max=t_max,
         band=band, match=match, mismatch=mismatch, gap_open=gap_open,
         gap_extend=gap_extend, batch_tile=batch_tile, backend=backend,
         min_chain_score=min_chain_score, max_per_read=max_per_read,
         window_pad=window_pad, ext_cap=out_cap)
-    counts = jnp.concatenate([dcounts, n_keep[None]])
+    minrid = jnp.minimum(dcounts[3], minrid_out)
+    counts = jnp.concatenate([dcounts[:3], n_keep[None], minrid[None]])
     return jnp.concatenate([out, _pack_counts_row(counts)], axis=0)
 
 from megapath_nano_tpu.align.anchors import (collect_anchors, pack_groups,
@@ -438,6 +458,45 @@ class SequenceMeta:
             species_tax_id=np.zeros(n, np.int64),
             genus_tax_id=np.zeros(n, np.int64),
         )
+
+
+def _lut_bits_for(n_keys: int, k: int) -> int:
+    """LUT sizing policy: ~4 buckets per key (log2(n)+2 bits) so in-bucket
+    bisection is 1-2 rounds for small indexes, capped at 2**24 entries
+    (128 MB paired) so multi-Gbp indexes bisect O(log avg occupancy)
+    instead of O(log n_keys)."""
+    return min(2 * k, 24, max(12, int(np.ceil(np.log2(max(n_keys, 2)))) + 2))
+
+
+def _build_lut(keys: np.ndarray, k: int):
+    """Paired bucket LUT for the device hash lookup: row b of lut2 is
+    [first index with key-top-bits >= b, same for b+1] — both bucket bounds
+    in one device gather."""
+    n = len(keys)
+    lut_bits = _lut_bits_for(n, k)
+    shift = 2 * k - lut_bits
+    bounds = (np.arange((1 << lut_bits) + 1, dtype=np.int64) << shift)
+    lut = np.searchsorted(keys, bounds).astype(np.int32)
+    max_bucket = int(np.diff(lut).max()) if n else 0
+    lut2 = np.stack([lut[:-1], lut[1:]], axis=1)
+    return lut_bits, np.ascontiguousarray(lut2), \
+        max(1, max_bucket.bit_length())
+
+
+def _run_counts(keys: np.ndarray) -> np.ndarray:
+    """uint8 plane: at the FIRST index of each equal-key run, the run length
+    clipped to 255 (0 elsewhere). The device lookup reads it at the lower
+    bound instead of bisecting the upper bound; max_occ < 255 (devseed gate)
+    guarantees a clipped count can only ever be filtered out, identically
+    to its true value."""
+    n = len(keys)
+    out = np.zeros(n, np.uint8)
+    if n:
+        first = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n))
+        out[starts] = np.minimum(counts, 255).astype(np.uint8)
+    return out
 
 
 def _stable_uniform(seed: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -689,6 +748,9 @@ class MinimizerAligner:
         self.meta = meta or SequenceMeta.single_assembly_per_sequence(
             index.seq_names)
         self._seq_data_dev = None   # device-resident target bases (lazy)
+        # devseed overflow telemetry (partial-redo rate; logged on overflow)
+        self.overflow_stats = {"slices": 0, "overflow_slices": 0,
+                               "reads_redone": 0}
 
     def _device_refs(self, starts: np.ndarray, t_max: int):
         """Gather (n, t_max) extension windows on device from the resident
@@ -723,10 +785,12 @@ class MinimizerAligner:
     def _device_index_planes(self):
         """Device-resident index planes for the device-seeded path:
         keys32 (sorted int32 hash table — valid because k <= 15 masks hashes
-        to 30 bits), pos_t (within-sequence k-mer end positions, int32),
-        pos_ss (seq_id << 1 | strand, int32), plus the bucket LUT that
-        replaces whole-table searchsorted on device (lut[b] = first table
-        index with key >> shift >= b) and its static (lut_bits, n_bisect).
+        to 30 bits), pos_pair ((K, 2) int32 [within-sequence k-mer end
+        position, seq_id << 1 | strand] — interleaved so both come back in
+        one gather), the paired bucket LUT lut2 that replaces whole-table
+        searchsorted on device with its static (lut_bits, n_bisect), and
+        runcnt (uint8 equal-key run length at each run start, clipped 255 —
+        one gather replaces the upper-bound bisection).
         Uploaded once, reused by every slice (lazy)."""
         import jax
 
@@ -736,19 +800,17 @@ class MinimizerAligner:
             seq_id, pos, strand = idx.unpack(idx.positions)
             keys32 = idx.keys.astype(np.int64)
             assert keys32.size == 0 or keys32.max() < 2 ** 30
-            lut_bits = min(20, 2 * idx.k)
-            shift = 2 * idx.k - lut_bits
-            bounds = (np.arange((1 << lut_bits) + 1, dtype=np.int64)
-                      << shift)
-            lut = np.searchsorted(keys32, bounds).astype(np.int32)
-            max_bucket = int(np.diff(lut).max()) if len(keys32) else 0
-            n_bisect = max(1, max_bucket.bit_length())
+            lut_bits, lut2, n_bisect = _build_lut(keys32, idx.k)
+            pos_pair = np.stack(
+                [pos.astype(np.int32),
+                 ((seq_id.astype(np.int32) << 1) | strand).astype(np.int32)],
+                axis=1)
             self._planes_dev = (
                 jax.device_put(keys32.astype(np.int32)),
-                jax.device_put(pos.astype(np.int32)),
-                jax.device_put(((seq_id.astype(np.int32) << 1)
-                                | strand).astype(np.int32)),
-                jax.device_put(lut), lut_bits, n_bisect)
+                jax.device_put(np.ascontiguousarray(pos_pair)),
+                jax.device_put(lut2),
+                jax.device_put(_run_counts(keys32)),
+                lut_bits, n_bisect)
         return self._planes_dev
 
     def _devseed_ok(self, slice_n: int) -> bool:
@@ -761,6 +823,7 @@ class MinimizerAligner:
         return (p.device_seed and idx.k <= 15 and len(idx.keys) > 0
                 and 0 < n_seqs < 2 ** 15
                 and slice_n < 2 ** 16
+                and p.max_occ < 255          # runcnt plane is uint8-clipped
                 and slice_n * (1 << (self._seq_bits() + 1)) < 2 ** 31 - 1
                 and idx.seq_data.size < 2 ** 31 - 2 ** 16)
 
@@ -804,7 +867,9 @@ class MinimizerAligner:
                       _bucket, _band_for):
         """PAF-mode tail of the map step: one fused dispatch + one download.
         Device-seeded when eligible (only the 2-bit packed reads cross the
-        link), host-seeded otherwise or on cap overflow."""
+        link), host-seeded otherwise. On a device cap overflow only the
+        affected read-id suffix re-runs through the exact host-seeded path
+        (partial redo — every cap truncates read-id-major)."""
         slice_n = _bucket(len(reads), lo=256)   # pow2 pad: cache executables
         if self._devseed_ok(slice_n):
             fut, ctx = self._fused_submit_devseed(reads, slice_n,
@@ -812,9 +877,31 @@ class MinimizerAligner:
                                                   _band_for)
             blk = np.asarray(fut)
             stats, counts = blk[:-1], _unpack_counts_row(blk[-1])
-            if not self._devseed_overflow(counts, ctx):
+            cutoff = self._devseed_cutoff(counts, len(reads))
+            if cutoff == len(reads):
                 return self._fused_collect_np(stats, ctx[0], id_base,
                                               read_names)
+            parts = []
+            if cutoff > 0:
+                kept = stats[stats[:, F_RID].astype(np.int64) < cutoff]
+                parts.append(self._fused_collect_np(kept, ctx[0], id_base,
+                                                    None))
+            parts.append(self._host_seeded_fused(
+                reads[cutoff:], id_base + cutoff, read_max, _bucket,
+                _band_for))
+            return self._concat_parts(parts, read_names)
+        return self._host_seeded_fused(reads, id_base, read_max, _bucket,
+                                       _band_for, read_names=read_names,
+                                       groups=groups)
+
+    def _host_seeded_fused(self, reads, id_base, read_max, _bucket,
+                           _band_for, read_names=None, groups=None):
+        """Exact host-seeded fused dispatch for a read list (full slice or a
+        partial-redo suffix). Read-count shapes are pow2-bucketed so redo
+        sets of different sizes reuse compiled executables."""
+        if not reads:
+            return AlignList.empty(self.index.seq_names,
+                                   self.meta.assembly_names, read_names or [])
         if groups is None:
             groups = collect_anchors(self.index, reads,
                                      max_occ=self.params.max_occ,
@@ -825,18 +912,42 @@ class MinimizerAligner:
             return AlignList.empty(self.index.seq_names,
                                    self.meta.assembly_names, read_names or [])
         fut, ctx = self._fused_submit(reads, groups, read_max, _bucket,
-                                      _band_for)
+                                      _band_for,
+                                      n_rows=_bucket(len(reads), lo=256))
         blk = np.asarray(fut)
         return self._fused_collect_np(blk[:-1], ctx[0], id_base, read_names)
 
-    @staticmethod
-    def _devseed_overflow(counts: np.ndarray, ctx) -> bool:
-        """True when any static cap was exceeded (dropped candidates) — the
-        slice must re-run through the exact host-seeded path."""
-        _qlens, caps = ctx
-        wtot_max, a_max, g_max, out_cap = caps
-        tw, ta, ng, nk = (int(c) for c in counts)
-        return tw > wtot_max or ta > a_max or ng > g_max or nk > out_cap
+    def _concat_parts(self, parts, read_names):
+        datas = [al.data for al in parts if len(al)]
+        if not datas:
+            return AlignList.empty(self.index.seq_names,
+                                   self.meta.assembly_names, read_names or [])
+        data = np.concatenate(datas)
+        order = np.lexsort((data["sequence_from"], data["sequence_id"],
+                            data["read_id"]))
+        return AlignList(data[order], list(self.index.seq_names),
+                         list(self.meta.assembly_names), read_names or [],
+                         None)
+
+    def _devseed_cutoff(self, counts: np.ndarray, n_reads: int) -> int:
+        """First read id whose device-seeded candidates were truncated by a
+        static cap (== n_reads when nothing overflowed). Reads below the
+        cutoff are bit-exact; reads at/above it re-run host-seeded. Also
+        accumulates the overflow telemetry surfaced by overflow_stats."""
+        cutoff = min(int(counts[4]), n_reads)
+        st = self.overflow_stats
+        st["slices"] += 1
+        if cutoff < n_reads:
+            st["overflow_slices"] += 1
+            st["reads_redone"] += n_reads - cutoff
+            import logging
+
+            logging.getLogger("megapath_nano_tpu.align").info(
+                "devseed cap overflow: redoing %d/%d reads host-seeded "
+                "(counts=%s; %d/%d slices overflowed so far)",
+                n_reads - cutoff, n_reads, counts[:4].tolist(),
+                st["overflow_slices"], st["slices"])
+        return cutoff
 
     def _fused_submit_devseed(self, reads, slice_n, read_max, _bucket,
                               _band_for):
@@ -848,7 +959,7 @@ class MinimizerAligner:
         if self._seq_data_dev is None:
             self._device_refs(np.zeros(1, np.int32), 256)
         seq_off_dev, seq_len_dev = self._device_index_meta()
-        keys32, pos_t, pos_ss, lut, lut_bits, n_bisect = \
+        keys32, pos_pair, lut2, runcnt, lut_bits, n_bisect = \
             self._device_index_planes()
 
         packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max,
@@ -869,8 +980,8 @@ class MinimizerAligner:
         # gather/VMEM and could blow the kernel's 32k packing limit
         t_max = -(-(q_max + band) // 256) * 256
         fut = _fused_map_dispatch_devseed(
-            packed2, exc_rid, exc_pos, qlens_a, keys32, pos_t, pos_ss, lut,
-            self._seq_data_dev, seq_off_dev, seq_len_dev,
+            packed2, exc_rid, exc_pos, qlens_a, keys32, pos_pair, lut2,
+            runcnt, self._seq_data_dev, seq_off_dev, seq_len_dev,
             k=idx.k, w=idx.w, max_occ=p.max_occ,
             min_group_anchors=p.min_group_anchors, gap_break=p.gap_break,
             cap=p.fused_anchor_cap, seq_bits=self._seq_bits(),
@@ -884,10 +995,12 @@ class MinimizerAligner:
             window_pad=p.window_pad)
         return fut, (qlens_a, (wtot_max, a_max, g_max, out_cap))
 
-    def _fused_submit(self, reads, groups, read_max, _bucket, _band_for):
+    def _fused_submit(self, reads, groups, read_max, _bucket, _band_for,
+                      n_rows: int | None = None):
         """Host pack + async device dispatch for one slice (host-seeded).
         Returns (future, ctx) with ctx = (qlens, None); the device computes
-        while the host prepares the next slice."""
+        while the host prepares the next slice. n_rows pads the read matrix
+        (shape bucketing for variable-size partial-redo sets)."""
         p = self.params
         idx = self.index
         if self._seq_data_dev is None:
@@ -912,8 +1025,10 @@ class MinimizerAligner:
         ft = np.zeros(ap, flat_t.dtype)
         fq[:na] = flat_q
         ft[:na] = flat_t
-        packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max)
-        qlens_a = np.array([len(r) for r in reads], np.int32)
+        packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max,
+                                                 n_rows=n_rows)
+        qlens_a = np.zeros(n_rows or len(reads), np.int32)
+        qlens_a[:len(reads)] = [len(r) for r in reads]
 
         q_max = read_max
         band = _band_for(q_max)
@@ -1033,7 +1148,9 @@ class MinimizerAligner:
         not DP, not upload — would bound the map path.
 
         Device-seeded when eligible; a slice whose counts row shows a cap
-        overflow re-runs through the exact host-seeded path."""
+        overflow re-runs ONLY the affected read-id suffix through the exact
+        host-seeded path (partial redo), deferred to trailing waves so the
+        main wave never stalls."""
         import jax.numpy as jnp
 
         p = self.params
@@ -1043,7 +1160,7 @@ class MinimizerAligner:
         slices = [(s, reads[s: s + slice_size])
                   for s in range(0, len(reads), slice_size)]
         parts = []
-        overflowed = []   # devseed cap overflows: re-run host-seeded at end
+        overflowed = []   # (id_base, reads) partial-redo suffixes
         WAVE = 16
         for w0 in range(0, len(slices), WAVE):
             wave = slices[w0: w0 + WAVE]
@@ -1076,13 +1193,18 @@ class MinimizerAligner:
                 blk = big[off: off + rows]
                 off += rows
                 stats, counts = blk[:-1], _unpack_counts_row(blk[-1])
-                if use_dev and self._devseed_overflow(counts, ctx):
-                    # defer: inline re-runs would stall the whole wave
-                    overflowed.append((s, sl))
-                else:
-                    parts.append(self._fused_collect_np(stats, ctx[0], s,
-                                                        None))
-        # trailing host-seeded waves for devseed cap overflows (exact path)
+                if use_dev:
+                    cutoff = self._devseed_cutoff(counts, len(sl))
+                    if cutoff < len(sl):
+                        # defer the affected suffix: inline re-runs would
+                        # stall the whole wave
+                        overflowed.append((s + cutoff, sl[cutoff:]))
+                        if cutoff == 0:
+                            continue
+                        stats = stats[
+                            stats[:, F_RID].astype(np.int64) < cutoff]
+                parts.append(self._fused_collect_np(stats, ctx[0], s, None))
+        # trailing host-seeded waves for devseed partial redos (exact path)
         for w0 in range(0, len(overflowed), WAVE):
             wave = overflowed[w0: w0 + WAVE]
             subs = []
@@ -1094,7 +1216,8 @@ class MinimizerAligner:
                 if groups.n_groups == 0:
                     continue
                 fut, ctx = self._fused_submit(sl, groups, read_max,
-                                              _bucket, _band_for)
+                                              _bucket, _band_for,
+                                              n_rows=_bucket(len(sl)))
                 subs.append((s, fut, ctx))
             if not subs:
                 continue

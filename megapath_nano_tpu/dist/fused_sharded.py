@@ -43,6 +43,7 @@ from megapath_nano_tpu.align.pipeline import (AlignParams, F_CHAIN, F_KEEP,
                                               F_RID, F_SEQ, FUSED_COLS,
                                               SequenceMeta, _fused_tail,
                                               _pack_counts_row, _pack_reads2,
+                                              _run_counts,
                                               _unpack_counts_row,
                                               _unpack_reads, AlignList,
                                               fused_collect_np)
@@ -233,7 +234,8 @@ def _load_planes(path: str) -> "ShardedIndexPlanes":
                      "mismatch", "gap_open", "gap_extend", "batch_tile",
                      "backend", "min_chain_score", "max_per_read",
                      "window_pad"))
-def _sharded_fused_dispatch(keys32, pos_t, pos_ss, lut, seq_data, seq_off,
+def _sharded_fused_dispatch(keys32, pos_pair, lut2, runcnt, seq_data,
+                            seq_off,
                             seq_len, packed2, exc_rid, exc_pos, qlens, *,
                             mesh, k, w, max_occ, min_group_anchors,
                             gap_break, cap, seq_bits, lut_bits, n_bisect,
@@ -255,20 +257,20 @@ def _sharded_fused_dispatch(keys32, pos_t, pos_ss, lut, seq_data, seq_off,
     block-local; the host offsets them by d * nd after the fetch."""
     from megapath_nano_tpu.align.device_seed import build_groups_device
 
-    def local_step(keys32, pos_t, pos_ss, lut, seq_data, seq_off, seq_len,
-                   packed2, exc_rid, exc_pos, qlens):
+    def local_step(keys32, pos_pair, lut2, runcnt, seq_data, seq_off,
+                   seq_len, packed2, exc_rid, exc_pos, qlens):
         packed2, exc_rid, exc_pos, qlens = (
             packed2[0], exc_rid[0], exc_pos[0], qlens[0])
         codes = _unpack_reads(packed2, exc_rid, exc_pos)
         qg, tg, cnt, rid, seqid, strand, t_base, dcounts = \
             build_groups_device(
-                codes, qlens, keys32[0], pos_t[0], pos_ss[0], lut[0],
-                k=k, w=w,
+                codes, qlens, keys32[0], pos_pair[0], lut2[0],
+                runcnt[0], k=k, w=w,
                 max_occ=max_occ, min_group_anchors=min_group_anchors,
                 gap_break=gap_break, cap=cap, seq_bits=seq_bits,
                 lut_bits=lut_bits, n_bisect=n_bisect,
                 wtot_max=wtot_max, a_max=a_max, g_max=g_max)
-        out, n_keep = _fused_tail(
+        out, n_keep, minrid_out = _fused_tail(
             codes, qlens, qg, tg, cnt, rid, seqid, strand, t_base,
             seq_data[0], seq_off[0], seq_len[0], k=k, q_max=q_max,
             t_max=t_max, band=band, match=match, mismatch=mismatch,
@@ -276,7 +278,8 @@ def _sharded_fused_dispatch(keys32, pos_t, pos_ss, lut, seq_data, seq_off,
             batch_tile=batch_tile, backend=backend,
             min_chain_score=min_chain_score, max_per_read=max_per_read,
             window_pad=window_pad, ext_cap=out_cap)
-        counts = jnp.concatenate([dcounts, n_keep[None]])
+        minrid = jnp.minimum(dcounts[3], minrid_out)
+        counts = jnp.concatenate([dcounts[:3], n_keep[None], minrid[None]])
         rows = jnp.concatenate([out, _pack_counts_row(counts)], axis=0)
         # ICI merge: every device in a data row ends with all shards' row
         # blocks for ITS read block
@@ -284,14 +287,15 @@ def _sharded_fused_dispatch(keys32, pos_t, pos_ss, lut, seq_data, seq_off,
 
     return shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("shard", None), P("shard", None), P("shard", None),
+        in_specs=(P("shard", None), P("shard", None, None),
+                  P("shard", None, None),
                   P("shard", None), P("shard", None), P("shard", None),
                   P("shard", None),
                   P("data", None, None), P("data", None), P("data", None),
                   P("data", None)),
         out_specs=P("data"),
         check_vma=False,
-    )(keys32, pos_t, pos_ss, lut, seq_data, seq_off, seq_len,
+    )(keys32, pos_pair, lut2, runcnt, seq_data, seq_off, seq_len,
       packed2, exc_rid, exc_pos, qlens)
 
 
@@ -311,16 +315,24 @@ class ShardMapAligner:
             planes.global_seq_names)
         self._dev = None          # device-put shard arrays (lazy)
         self._fallback = [None] * planes.n_shards
+        # per-(data-block, shard) overflow telemetry (partial-redo rate)
+        self.overflow_stats = {"blocks": 0, "overflow_blocks": 0,
+                               "reads_redone": 0}
 
     def _device_arrays(self):
         if self._dev is None:
             sh = NamedSharding(self.mesh, P("shard", None))
             p = self.planes
-            # per-shard bucket LUT + bisect depth (see
+            # per-shard bucket LUT + bisect depth + runcnt plane (see
             # MinimizerAligner._device_index_planes); shards share one
             # executable, so n_bisect is the max over shards (extra rounds
-            # are no-ops once the bisection range is empty)
-            lut_bits = min(20, 2 * p.k)
+            # are no-ops once the bisection range is empty). LUT sized to
+            # the max per-shard key count (pipeline._lut_bits_for policy).
+            from megapath_nano_tpu.align.pipeline import _lut_bits_for
+
+            n_keys = int(np.count_nonzero(p.keys32 != _HASH_PAD, axis=1)
+                         .max()) if p.keys32.size else 0
+            lut_bits = _lut_bits_for(n_keys, p.k)
             shift = 2 * p.k - lut_bits
             bounds = (np.arange((1 << lut_bits) + 1, dtype=np.int64)
                       << shift)
@@ -329,9 +341,19 @@ class ShardMapAligner:
                 .astype(np.int32) for s in range(p.n_shards)])
             max_bucket = int(np.diff(luts, axis=1).max()) if luts.size else 0
             self._lut_meta = (lut_bits, max(1, max_bucket.bit_length()))
+            lut2s = np.ascontiguousarray(
+                np.stack([luts[:, :-1], luts[:, 1:]], axis=2))
+            runcnts = np.stack([
+                _run_counts(p.keys32[s].astype(np.int64))
+                for s in range(p.n_shards)])
+            pos_pairs = np.ascontiguousarray(
+                np.stack([p.pos_t, p.pos_ss], axis=2))
             self._dev = tuple(
-                jax.device_put(a, sh)
-                for a in (p.keys32, p.pos_t, p.pos_ss, luts, p.seq_data,
+                jax.device_put(a, sh if a.ndim == 2 else
+                               NamedSharding(self.mesh,
+                                             P("shard", None, None)))
+                for a in (p.keys32, pos_pairs, lut2s, runcnts,
+                          p.seq_data,
                           p.seq_offsets, p.seq_lengths))
         return self._dev
 
@@ -368,7 +390,8 @@ class ShardMapAligner:
         if groups.n_groups == 0:
             return np.zeros((0, FUSED_COLS), np.uint16)
         fut, _ctx = al._fused_submit(reads, groups, read_max, _pow2,
-                                     lambda qm: band)
+                                     lambda qm: band,
+                                     n_rows=_pow2(len(reads)))
         blk = np.asarray(fut)
         return blk[:-1]
 
@@ -438,17 +461,28 @@ class ShardMapAligner:
         shard_rows = []
         for d in range(n_data):
             for sh in range(planes.n_shards):
-                rows = blocks[d, sh, :-1]
                 counts = _unpack_counts_row(blocks[d, sh, -1])
-                tw, ta, ng, nk = (int(c) for c in counts)
-                if tw > wtot_max or ta > a_max or ng > g_max or nk > out_cap:
-                    rows = self._shard_fallback_rows(sh, blocks_in[d],
-                                                     read_max, band)
+                n_real = len(blocks_in[d])
+                cutoff = min(int(counts[4]), n_real)
                 # keep rows only, with local -> global sequence id remap and
                 # block-local -> slice-local read id offset (rows widen to
                 # int64 here, so neither is uint16-bounded)
-                r = rows.astype(np.int64)
+                r = blocks[d, sh, :-1].astype(np.int64)
                 r = r[r[:, F_KEEP] == 1]
+                if cutoff < n_real:
+                    # partial redo: device rows below the cutoff are exact;
+                    # only the truncated read-id suffix re-runs host-seeded
+                    # against this shard's local index
+                    self.overflow_stats["overflow_blocks"] += 1
+                    self.overflow_stats["reads_redone"] += n_real - cutoff
+                    r = r[r[:, F_RID] < cutoff]
+                    fb = self._shard_fallback_rows(
+                        sh, blocks_in[d][cutoff:], read_max,
+                        band).astype(np.int64)
+                    fb = fb[fb[:, F_KEEP] == 1]
+                    fb[:, F_RID] += cutoff
+                    r = np.concatenate([r, fb]) if len(fb) else r
+                self.overflow_stats["blocks"] += 1
                 r[:, F_SEQ] = planes.seq_global[sh][r[:, F_SEQ]]
                 r[:, F_RID] += d * nd
                 shard_rows.append(r)

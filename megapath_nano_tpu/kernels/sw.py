@@ -292,7 +292,11 @@ def _sw_kernel_full(reads_ref, rlens_ref, refs_ref, tlens_ref, out_ref,
         read_col = pltpu.roll(read_win, 128 - off, axis=1)[:, 0:1]
         return step(i, carry, read_col, ref_slice, rlen)
 
-    carry = jax.lax.fori_loop(0, q_max, row_step, _full_init(bt, band))
+    # dynamic trip count: rows past every read's length are pure no-ops
+    # (active mask), so loop only to the tile's longest read — an all-padding
+    # tile (compacted-out rows, rl = 0) costs ~zero DP time
+    q_hi = jnp.minimum(jnp.int32(q_max), jnp.max(rlens_ref[:, 0]))
+    carry = jax.lax.fori_loop(0, q_hi, row_step, _full_init(bt, band))
     best_v, best_i_v, best_p_v, best_b_v = carry[6:]
     best, best_i, best_k, best_p, best_b = _reduce_best(
         best_v, best_i_v, band, extra=(best_p_v, best_b_v))
@@ -448,7 +452,9 @@ def _sw_kernel(reads_ref, rlens_ref, refs_ref, tlens_ref, out_ref,
 
     zeros = jnp.zeros((bt, band), jnp.int32)
     init = (zeros, zeros, zeros, zeros)
-    h, e, best_v, best_i_v = jax.lax.fori_loop(0, q_max, row_step, init)
+    # dynamic trip count (see _sw_kernel_full): all-padding tiles are free
+    q_hi = jnp.minimum(jnp.int32(q_max), jnp.max(rlens_ref[:, 0]))
+    h, e, best_v, best_i_v = jax.lax.fori_loop(0, q_hi, row_step, init)
     best, best_i, best_k = _reduce_best(best_v, best_i_v, band)
 
     end_ref = best_i + best_k - half
