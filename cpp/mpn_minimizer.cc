@@ -14,8 +14,13 @@
 // Position packing (uint64): [ seq_id : 24 | pos : 39 | strand : 1 ]
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 #include <thread>
 
@@ -39,38 +44,47 @@ struct Minimizer {
   uint64_t packed;  // seq_id:24 | pos:39 | strand:1  (pos = k-mer END position)
 };
 
-// Extract (k,w) minimizers from one numeric sequence (codes 0..3; 4 = N breaks
-// k-mers). Canonical: min(fwd kmer, revcomp kmer); strand = which was smaller.
-// Windows whose forward and reverse k-mer values tie are skipped (ambiguous
-// strand), matching minimap2's published sketch behavior.
-static void sketch_sequence(const int8_t* seq, int64_t len, uint32_t seq_id,
-                            int k, int w, std::vector<Minimizer>* out) {
+// Extract (k,w) minimizers of windows ending in [i_begin, i_end) from one
+// numeric sequence (codes 0..3; 4 = N breaks k-mers). Canonical: min(fwd
+// kmer, revcomp kmer); strand = which was smaller. Windows whose forward and
+// reverse k-mer values tie are skipped (ambiguous strand), matching
+// minimap2's published sketch behavior.
+//
+// Range form enables PARALLEL index builds over chunks of one long
+// sequence: the scan warms up (k + w - 1) positions before i_begin to
+// reconstruct the rolling k-mer + window deque, and tracks (without
+// emitting) the winners of warmup windows so the consecutive-window dedupe
+// is seamless across chunk boundaries (a winner's emitting windows form one
+// contiguous run, so the first in-range window only emits when its winner
+// differs from the previous window's).
+template <typename Emit>
+static void sketch_range(const int8_t* seq, int64_t len, uint32_t seq_id,
+                         int k, int w, int64_t i_begin, int64_t i_end,
+                         Emit&& emit_out) {
   const uint64_t shift1 = 2 * (k - 1);
   const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   uint64_t kmer_f = 0, kmer_r = 0;
   int valid = 0;  // consecutive non-ambiguous bases
+  if (i_end > len) i_end = len;
+  const int64_t start = std::max<int64_t>(0, i_begin - (k + w - 1));
 
-  auto emit = [&](const Minimizer& m) {
-    if (m.hash == ~0ULL) return;
-    // dedupe: same (hash, packed) may win consecutive windows
-    if (!out->empty() && out->back().hash == m.hash &&
-        out->back().packed == m.packed)
-      return;
-    out->push_back(m);
-  };
+  Minimizer last{~0ULL, ~0ULL};  // last window winner (warmup included)
 
   // O(len) sliding-window minimum via a monotonic ring deque of the last
-  // <= w candidates, nondecreasing by (hash, packed). The front is always
-  // the window minimum; ties keep the earliest position (smallest packed),
-  // matching the scan semantics. Ring capacity w+1 suffices.
-  std::vector<Minimizer> dq_m(w + 1);
-  std::vector<int64_t> dq_i(w + 1);
-  int head = 0, tail = 0;  // [head, tail) occupied, modulo w+1
-  const int cap = w + 1;
-  auto dq_empty = [&]() { return head == tail; };
-  auto dq_backm = [&]() -> Minimizer& { return dq_m[(tail + cap - 1) % cap]; };
+  // <= w VALID candidates, nondecreasing by (hash, packed). The front is
+  // always the window minimum among valid k-mers (invalid positions are
+  // simply not pushed — a window with no valid candidate has an empty
+  // deque and emits nothing); ties keep the earliest position (smallest
+  // packed). Power-of-two ring (mask indexing) — the modulo arithmetic of
+  // the naive ring was ~40% of sketch time.
+  int ringsz = 2;
+  while (ringsz < w + 2) ringsz <<= 1;
+  const int rmask = ringsz - 1;
+  std::vector<Minimizer> dq_m((size_t)ringsz);
+  std::vector<int64_t> dq_i((size_t)ringsz);
+  int head = 0, tail = 0;  // [head, tail) occupied, mod ringsz
 
-  for (int64_t i = 0; i < len; ++i) {
+  for (int64_t i = start; i < i_end; ++i) {
     int8_t c = seq[i];
     if (c < 4) {
       kmer_f = ((kmer_f << 2) | (uint64_t)c) & mask;
@@ -79,35 +93,51 @@ static void sketch_sequence(const int8_t* seq, int64_t len, uint32_t seq_id,
     } else {
       valid = 0;
     }
-    Minimizer m{~0ULL, 0};
     if (valid >= k && kmer_f != kmer_r) {
+      Minimizer m;
       int strand = kmer_r < kmer_f ? 1 : 0;
       uint64_t canon = strand ? kmer_r : kmer_f;
       m.hash = hash64(canon, mask);
       m.packed = ((uint64_t)seq_id << 40) | (((uint64_t)i) << 1) |
                  (uint64_t)strand;
+      // pop strictly-greater candidates from the back (equal stay:
+      // earliest position wins the window)
+      while (tail != head) {
+        const Minimizer& b = dq_m[(tail + ringsz - 1) & rmask];
+        if (b.hash > m.hash || (b.hash == m.hash && b.packed > m.packed))
+          tail = (tail + ringsz - 1) & rmask;
+        else
+          break;
+      }
+      dq_m[tail] = m;
+      dq_i[tail] = i;
+      tail = (tail + 1) & rmask;
     }
-    // pop strictly-greater candidates from the back (equal stay: earliest
-    // position wins the window)
-    while (!dq_empty()) {
-      const Minimizer& b = dq_backm();
-      if (b.hash > m.hash || (b.hash == m.hash && b.packed > m.packed))
-        tail = (tail + cap - 1) % cap;
-      else
-        break;
-    }
-    dq_m[tail] = m;
-    dq_i[tail] = i;
-    tail = (tail + 1) % cap;
     // drop front entries that left the window [i-w+1, i]
-    while (dq_i[head] < i - w + 1) head = (head + 1) % cap;
-    if (i >= k + w - 2) emit(dq_m[head]);
+    while (head != tail && dq_i[head] < i - w + 1) head = (head + 1) & rmask;
+    if (i >= k + w - 2 && head != tail) {
+      const Minimizer& m0 = dq_m[head];
+      if (!(m0.hash == last.hash && m0.packed == last.packed)) {
+        last = m0;                      // track through warmup windows too
+        if (i >= i_begin) emit_out(m0);
+      }
+    }
   }
 }
 
+static void sketch_sequence(const int8_t* seq, int64_t len, uint32_t seq_id,
+                            int k, int w, std::vector<Minimizer>* out) {
+  sketch_range(seq, len, seq_id, k, w, 0, len,
+               [out](const Minimizer& m) { out->push_back(m); });
+}
+
 struct IndexBuild {
-  std::vector<uint64_t> keys;
-  std::vector<uint64_t> positions;
+  // raw arrays, NOT zero-initialized: every element is written by the
+  // build, and value-initializing ~GBs (vector::resize) costs seconds of
+  // page-fault + memset time on this host
+  std::unique_ptr<uint64_t[]> keys;
+  std::unique_ptr<uint64_t[]> positions;
+  int64_t n = 0;
 };
 
 }  // namespace
@@ -116,32 +146,121 @@ extern "C" {
 
 // Sketch a batch of sequences (concatenated codes + offsets) and build a
 // sorted index. Returns an opaque handle.
+//
+// Fully threaded: sequences are split into ~8 Mbp window-range chunks
+// (sketch_range makes chunking exact across boundaries), each thread
+// bucket-partitions its minimizers by the hash's top bits, then buckets are
+// concatenated and sorted independently in parallel — bucket order IS hash
+// order, so the concatenation of sorted buckets is the globally sorted
+// table. ~n_threads x faster than the serial sketch + one giant std::sort,
+// and the dominant cost of multi-Gbp index construction (the reference's
+// analogue is minimap2's -I index batching, bin/megapath_nano.py:4017-4022).
 void* mpn_index_build(const int8_t* seqs, const int64_t* offsets,
-                      int32_t n_seqs, int k, int w) {
-  std::vector<Minimizer> mins;
+                      int32_t n_seqs, int k, int w, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const bool verbose = getenv("MPN_BUILD_VERBOSE") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* what) {
+    if (!verbose) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[mpn_index_build] %s: %.2fs\n", what,
+            std::chrono::duration<double>(now - tick).count());
+    tick = now;
+  };
+  const int BB = 9;  // 512 hash-prefix buckets
+  const int B = 1 << BB;
+  const int shift = (2 * k > BB) ? (2 * k - BB) : 0;
+  const int64_t CHUNK = 8ll << 20;
+  struct Task { int32_t seq; int64_t b, e; };
+  std::vector<Task> tasks;
   for (int32_t s = 0; s < n_seqs; ++s) {
-    const int8_t* seq = seqs + offsets[s];
     int64_t len = offsets[s + 1] - offsets[s];
-    sketch_sequence(seq, len, (uint32_t)s, k, w, &mins);
+    for (int64_t b = 0; b < len; b += CHUNK)
+      tasks.push_back({s, b, std::min(len, b + CHUNK)});
   }
-  std::sort(mins.begin(), mins.end(), [](const Minimizer& a, const Minimizer& b) {
-    return a.hash < b.hash || (a.hash == b.hash && a.packed < b.packed);
-  });
+  std::vector<std::vector<std::vector<Minimizer>>> parts(
+      n_threads, std::vector<std::vector<Minimizer>>(B));
+  std::atomic<size_t> next{0};
+  {
+    int64_t total_bp = offsets[n_seqs];
+    // expected minimizer density 2/(w+1); reserve with 1.3x headroom so
+    // bucket vectors grow without repeated reallocation
+    int64_t per_bucket =
+        (total_bp * 2 / (w + 1)) / (B * n_threads) * 13 / 10 + 16;
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; ++t)
+      ts.emplace_back([&, t]() {
+        auto& mine = parts[t];
+        for (auto& v : mine) v.reserve((size_t)per_bucket);
+        for (;;) {
+          size_t ti = next.fetch_add(1);
+          if (ti >= tasks.size()) break;
+          const Task& tk = tasks[ti];
+          sketch_range(seqs + offsets[tk.seq],
+                       offsets[tk.seq + 1] - offsets[tk.seq],
+                       (uint32_t)tk.seq, k, w, tk.b, tk.e,
+                       [&](const Minimizer& m) {
+                         mine[(size_t)(m.hash >> shift)].push_back(m);
+                       });
+        }
+      });
+    for (auto& th : ts) th.join();
+  }
+  lap("sketch+bucket");
+  std::vector<int64_t> boff(B + 1, 0);
+  // fine-grained laps below (verbose only)
+  for (int b = 0; b < B; ++b) {
+    int64_t sz = 0;
+    for (int t = 0; t < n_threads; ++t) sz += (int64_t)parts[t][b].size();
+    boff[b + 1] = boff[b] + sz;
+  }
+  const int64_t n = boff[B];
   IndexBuild* idx = new IndexBuild();
-  idx->keys.reserve(mins.size());
-  idx->positions.reserve(mins.size());
-  for (const Minimizer& m : mins) {
-    idx->keys.push_back(m.hash);
-    idx->positions.push_back(m.packed);
+  idx->n = n;
+  idx->keys.reset(new uint64_t[n]);
+  idx->positions.reset(new uint64_t[n]);
+  lap("alloc keys/pos");
+  std::unique_ptr<Minimizer[]> all(new Minimizer[n]);
+  lap("alloc all");
+  std::atomic<int> nextb{0};
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; ++t)
+      ts.emplace_back([&]() {
+        for (;;) {
+          int b = nextb.fetch_add(1);
+          if (b >= B) break;
+          int64_t o = boff[b];
+          for (int tt = 0; tt < n_threads; ++tt) {
+            auto& v = parts[tt][b];
+            if (!v.empty())
+              memcpy(all.get() + o, v.data(), v.size() * sizeof(Minimizer));
+            o += (int64_t)v.size();
+            v.clear();
+            v.shrink_to_fit();       // release as we go: halves peak RSS
+          }
+          std::sort(all.get() + boff[b], all.get() + boff[b + 1],
+                    [](const Minimizer& a, const Minimizer& c) {
+                      return a.hash < c.hash ||
+                             (a.hash == c.hash && a.packed < c.packed);
+                    });
+          for (int64_t i = boff[b]; i < boff[b + 1]; ++i) {
+            idx->keys[i] = all[i].hash;
+            idx->positions[i] = all[i].packed;
+          }
+        }
+      });
+    for (auto& th : ts) th.join();
   }
+  lap("concat+sort+split");
   return idx;
 }
 
-int64_t mpn_index_size(void* h) { return (int64_t)((IndexBuild*)h)->keys.size(); }
+int64_t mpn_index_size(void* h) { return ((IndexBuild*)h)->n; }
 void mpn_index_copy(void* h, uint64_t* keys_out, uint64_t* pos_out) {
   IndexBuild* idx = (IndexBuild*)h;
-  memcpy(keys_out, idx->keys.data(), idx->keys.size() * sizeof(uint64_t));
-  memcpy(pos_out, idx->positions.data(), idx->positions.size() * sizeof(uint64_t));
+  memcpy(keys_out, idx->keys.get(), idx->n * sizeof(uint64_t));
+  memcpy(pos_out, idx->positions.get(), idx->n * sizeof(uint64_t));
 }
 void mpn_index_free(void* h) { delete (IndexBuild*)h; }
 

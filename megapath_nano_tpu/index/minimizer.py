@@ -128,8 +128,13 @@ class MinimizerIndex:
         k: int = 15,
         w: int = 10,
         keep_seq: bool = True,
+        n_threads: int | None = None,
     ) -> "MinimizerIndex":
+        import os
+
         lib = load_native_lib()
+        if n_threads is None:
+            n_threads = max(1, os.cpu_count() or 1)
         n_seqs = len(seqs)
         flat = (
             np.concatenate([np.asarray(s, dtype=np.int8) for s in seqs])
@@ -142,7 +147,8 @@ class MinimizerIndex:
         i64p = ctypes.POINTER(ctypes.c_int64)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         h = lib.mpn_index_build(flat.ctypes.data_as(i8p),
-                                offsets.ctypes.data_as(i64p), n_seqs, k, w)
+                                offsets.ctypes.data_as(i64p), n_seqs, k, w,
+                                n_threads)
         try:
             n = lib.mpn_index_size(h)
             keys = np.zeros(n, dtype=np.uint64)

@@ -113,7 +113,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     ]
 
     lib.mpn_index_build.restype = c.c_void_p
-    lib.mpn_index_build.argtypes = [i8p, i64p, c.c_int32, c.c_int, c.c_int]
+    lib.mpn_index_build.argtypes = [i8p, i64p, c.c_int32, c.c_int, c.c_int,
+                                    c.c_int32]
     lib.mpn_index_size.restype = c.c_int64
     lib.mpn_index_size.argtypes = [c.c_void_p]
     lib.mpn_index_copy.argtypes = [c.c_void_p, u64p, u64p]
