@@ -77,6 +77,21 @@ def main(argv=None) -> int:
           "devseed_eligible": bool(devseed_ok),
           "fused_eligible": bool(fused_gate),
           "seq_data_size": int(index.seq_data.size)})
+    if not fused_gate:
+        # beyond int32 device addressing (~2.1 Gbp) a monolithic index
+        # cannot be device-resident: shard it (dist/sharded_aligner — the
+        # host-loop tier; each shard runs the device-seeded fused dispatch
+        # in turn, so single-chip throughput divides by the shard count;
+        # on a multi-chip mesh ShardMapAligner runs the shards in parallel)
+        from megapath_nano_tpu.dist.sharded_aligner import ShardedAligner
+
+        n_shards = -(-total_bp // (2 * 10 ** 9))
+        emit({"metric": "sharding", "n_shards": int(n_shards)})
+        aligner = ShardedAligner.build(
+            genomes, [f"g{i}" for i in range(args.n_genomes)],
+            np.arange(args.n_genomes, dtype=np.int64),
+            [f"g{i}" for i in range(args.n_genomes)], int(n_shards),
+            params=AlignParams(backend=backend))
 
     def make_reads(seed):
         r = np.random.default_rng(seed)

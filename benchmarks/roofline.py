@@ -9,15 +9,17 @@ Roofline model
 --------------
 The DP is int32 elementwise VPU work with a serial row recurrence — no MXU,
 no reuse to blow past memory: the binding resource is VECTOR ISSUE. The
-model assumes ONE vector op per cycle over an (8, 128) = 1024-lane vreg at
-~0.94 GHz => ~963 G lane-ops/s — deliberately conservative: microbenchmarks
-show the VPU dual-issues independent op pairs (~2.6 T lane-ops/s with ILP-8
-chains), so a measured fraction above 100% means the kernel's independent
-subexpressions are dual-issuing, not that the model is broken. With OPS
-lane-ops per DP cell (counted from the row-step source; see OPS_* below),
-the model peak is
+single-issue rate over an (8, 128) = 1024-lane vreg at ~0.94 GHz is
+~963 G lane-ops/s; microbenchmarks show ILP-8 chains dual-issue at
+~2.6 T lane-ops/s. The kernels' row recurrences carry real dependency
+chains, so their achievable issue rate sits between the two: the model
+uses 1.5 T lane-ops/s (the measured effective rate for this op mix, set so
+the healthy kernels land in (0.5, 1.0] of the model — a fraction that can
+actually FALL on a regression, unlike the old single-issue model which the
+kernels beat by 15-40%). With OPS lane-ops per DP cell (counted from the
+row-step source; see OPS_* below), the model peak is
 
-    cells/s = 963e9 / OPS
+    cells/s = 1.5e12 / OPS
 
 Counted per-cell lane-ops (shift/roll = 2, compare+select = 2, arith/max/
 logic = 1 each; the log2(band)=7-step F prefix-max dominates):
@@ -34,8 +36,12 @@ Timing subtracts the measured dispatch floor (the remote-tunnel RTT) and
 forces materialization with np.asarray — block_until_ready under-reports on
 the axon backend.
 
+Day-to-day tunnel variance on this link is ~±25%; the 0.5 floor trips on
+a >~25% kernel regression from today's measured 0.6-0.9 fractions without
+flaking on a slow day.
+
 Usage: python benchmarks/roofline.py  (runs on the real TPU; exits 1 when a
-kernel lands below 80% of its modeled roofline)
+kernel lands below 50% of its modeled roofline)
 """
 
 import json
@@ -47,10 +53,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
-PEAK_LANE_OPS = 963e9      # 1024 lanes x ~0.94 GHz vector issue
+PEAK_LANE_OPS = 1.5e12     # effective (partial dual-issue) rate; see above
 OPS_SCORE = 58
 OPS_FULL = 116
-FLOOR = 0.80
+FLOOR = 0.50
 
 G, Q, T, BAND = 4096, 1024, 1280, 128
 
@@ -83,7 +89,8 @@ def main() -> int:
         return float(np.median(ts))
 
     rtt = timeit(jax.jit(lambda x: x + 1), jnp.float32(1))
-    cells = G * Q * BAND
+    # dynamic trip count: the kernel loops to max(rl) = Q - 24 rows
+    cells = G * (Q - 24) * BAND
 
     f_score = jax.jit(lambda *a: jnp.sum(banded_sw_scores(*a, **kw)[0]))
     f_full = jax.jit(

@@ -751,6 +751,8 @@ class MinimizerAligner:
         # devseed overflow telemetry (partial-redo rate; logged on overflow)
         self.overflow_stats = {"slices": 0, "overflow_slices": 0,
                                "reads_redone": 0}
+        # adaptive static-cap scales, raised by _devseed_cutoff on overflow
+        self._cap_scales = {"w": 1.0, "a": 1.0, "g": 1.0, "out": 1.0}
 
     def _device_refs(self, starts: np.ndarray, t_max: int):
         """Gather (n, t_max) extension windows on device from the resident
@@ -877,7 +879,7 @@ class MinimizerAligner:
                                                   _band_for)
             blk = np.asarray(fut)
             stats, counts = blk[:-1], _unpack_counts_row(blk[-1])
-            cutoff = self._devseed_cutoff(counts, len(reads))
+            cutoff = self._devseed_cutoff(counts, len(reads), ctx[1])
             if cutoff == len(reads):
                 return self._fused_collect_np(stats, ctx[0], id_base,
                                               read_names)
@@ -929,25 +931,64 @@ class MinimizerAligner:
                          list(self.meta.assembly_names), read_names or [],
                          None)
 
-    def _devseed_cutoff(self, counts: np.ndarray, n_reads: int) -> int:
+    def _devseed_cutoff(self, counts: np.ndarray, n_reads: int,
+                        caps=None) -> int:
         """First read id whose device-seeded candidates were truncated by a
         static cap (== n_reads when nothing overflowed). Reads below the
         cutoff are bit-exact; reads at/above it re-run host-seeded. Also
-        accumulates the overflow telemetry surfaced by overflow_stats."""
+        accumulates the overflow telemetry surfaced by overflow_stats and
+        ADAPTS the caps: an overflowed cap raises its scale factor (with
+        20% headroom, bounded 8x) so subsequent slices compile one bigger
+        executable instead of redoing reads forever — the static density
+        model under-sizes a_max on dense indexes, where minimizer-vs-
+        minimizer hash collisions are enriched ~(w+1)/2 over uniform."""
         cutoff = min(int(counts[4]), n_reads)
         st = self.overflow_stats
         st["slices"] += 1
         if cutoff < n_reads:
             st["overflow_slices"] += 1
             st["reads_redone"] += n_reads - cutoff
+            if caps is not None:
+                wtot_max, a_max, g_max, out_cap = caps
+                sc = self._cap_scales
+                for key, seen, cap in (("w", counts[0], wtot_max),
+                                       ("a", counts[1], a_max),
+                                       ("g", counts[2], g_max),
+                                       ("out", counts[3], out_cap)):
+                    if seen > cap:
+                        grown = min(8.0, sc[key] * max(
+                            1.25, 1.2 * float(seen) / float(cap)))
+                        sc[key] = grown
             import logging
 
             logging.getLogger("megapath_nano_tpu.align").info(
                 "devseed cap overflow: redoing %d/%d reads host-seeded "
-                "(counts=%s; %d/%d slices overflowed so far)",
+                "(counts=%s; scales now %s; %d/%d slices overflowed)",
                 n_reads - cutoff, n_reads, counts[:4].tolist(),
-                st["overflow_slices"], st["slices"])
+                self._cap_scales, st["overflow_slices"], st["slices"])
         return cutoff
+
+    def _caps_scaled(self, slice_n: int, read_max: int):
+        """Instance cap sizing: the static density model x the adaptively
+        learned per-cap scale factors (see _devseed_cutoff)."""
+        wtot_max, a_max, g_max = self._devseed_caps(
+            slice_n, read_max, self._index_occupancy())
+        sc = self._cap_scales
+
+        def pow2up(x, lo):
+            b = lo
+            while b < x:
+                b *= 2
+            return b
+
+        if sc["w"] > 1.0:
+            wtot_max = pow2up(int(wtot_max * sc["w"]), wtot_max)
+        if sc["a"] > 1.0:
+            gran = max(wtot_max // 16, 4096)
+            a_max = -(-int(a_max * sc["a"]) // gran) * gran
+        if sc["g"] > 1.0:
+            g_max = pow2up(int(g_max * sc["g"]), g_max)
+        return wtot_max, a_max, g_max
 
     def _fused_submit_devseed(self, reads, slice_n, read_max, _bucket,
                               _band_for):
@@ -967,10 +1008,10 @@ class MinimizerAligner:
         qlens_a = np.zeros(slice_n, np.int32)
         qlens_a[:len(reads)] = [len(r) for r in reads]
 
-        wtot_max, a_max, g_max = self._devseed_caps(
-            slice_n, read_max, self._index_occupancy())
+        wtot_max, a_max, g_max = self._caps_scaled(slice_n, read_max)
         out_cap = 2048
-        while out_cap < p.devseed_out_per_read * slice_n:
+        while out_cap < (p.devseed_out_per_read * self._cap_scales["out"]
+                         * slice_n):
             out_cap *= 2
         out_cap = min(out_cap, g_max)
         q_max = read_max
@@ -1194,7 +1235,7 @@ class MinimizerAligner:
                 off += rows
                 stats, counts = blk[:-1], _unpack_counts_row(blk[-1])
                 if use_dev:
-                    cutoff = self._devseed_cutoff(counts, len(sl))
+                    cutoff = self._devseed_cutoff(counts, len(sl), ctx[1])
                     if cutoff < len(sl):
                         # defer the affected suffix: inline re-runs would
                         # stall the whole wave

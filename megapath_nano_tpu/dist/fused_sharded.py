@@ -318,6 +318,8 @@ class ShardMapAligner:
         # per-(data-block, shard) overflow telemetry (partial-redo rate)
         self.overflow_stats = {"blocks": 0, "overflow_blocks": 0,
                                "reads_redone": 0}
+        # adaptive cap scales (see MinimizerAligner._devseed_cutoff)
+        self._cap_scales = {"w": 1.0, "a": 1.0, "g": 1.0, "out": 1.0}
 
     def _device_arrays(self):
         if self._dev is None:
@@ -361,17 +363,45 @@ class ShardMapAligner:
         from megapath_nano_tpu.align.pipeline import MinimizerAligner
 
         # per-shard hash-space occupancy (spurious hits per query hash);
-        # the dense-index anchor sizing lives in _devseed_caps
+        # the dense-index anchor sizing lives in _devseed_caps, adaptively
+        # scaled on overflow like the single-chip mapper
         p = self.planes
         n_pos = int(np.count_nonzero(p.keys32 != _HASH_PAD, axis=1).max()) \
             if p.keys32.size else 0
         occ = n_pos / float(4 ** p.k)
         wtot_max, a_max, g_max = MinimizerAligner._devseed_caps(
             slice_n, read_max, occ)
+        sc = self._cap_scales
+
+        def pow2up(x, lo):
+            b = lo
+            while b < x:
+                b *= 2
+            return b
+
+        if sc["w"] > 1.0:
+            wtot_max = pow2up(int(wtot_max * sc["w"]), wtot_max)
+        if sc["a"] > 1.0:
+            gran = max(wtot_max // 16, 4096)
+            a_max = -(-int(a_max * sc["a"]) // gran) * gran
+        if sc["g"] > 1.0:
+            g_max = pow2up(int(g_max * sc["g"]), g_max)
         out_cap = 2048
-        while out_cap < self.params.devseed_out_per_read * slice_n:
+        while out_cap < (self.params.devseed_out_per_read * sc["out"]
+                         * slice_n):
             out_cap *= 2
         return wtot_max, a_max, g_max, min(out_cap, g_max)
+
+    def _bump_scales(self, counts, caps):
+        wtot_max, a_max, g_max, out_cap = caps
+        sc = self._cap_scales
+        for key, seen, cap in (("w", counts[0], wtot_max),
+                               ("a", counts[1], a_max),
+                               ("g", counts[2], g_max),
+                               ("out", counts[3], out_cap)):
+            if seen > cap:
+                sc[key] = min(8.0, sc[key] * max(
+                    1.25, 1.2 * float(seen) / float(cap)))
 
     def _shard_fallback_rows(self, sh: int, reads, read_max, band):
         """Exact host-seeded dispatch against shard sh's local index —
@@ -475,6 +505,8 @@ class ShardMapAligner:
                     # against this shard's local index
                     self.overflow_stats["overflow_blocks"] += 1
                     self.overflow_stats["reads_redone"] += n_real - cutoff
+                    self._bump_scales(counts,
+                                      (wtot_max, a_max, g_max, out_cap))
                     r = r[r[:, F_RID] < cutoff]
                     fb = self._shard_fallback_rows(
                         sh, blocks_in[d][cutoff:], read_max,
