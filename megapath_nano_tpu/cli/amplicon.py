@@ -21,7 +21,7 @@ import os
 import sys
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mpn-tpu-amplicon")
     p.add_argument("--query", required=True)
     p.add_argument("--target_db", required=True)
@@ -39,7 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--backend", choices=["pallas", "jnp"], default=None)
     p.add_argument("--realign", action="store_true", default=True)
     p.add_argument("--no_realign", dest="realign", action="store_false")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
 
     if os.environ.get("JAX_PLATFORMS"):
         import jax

@@ -37,9 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_folder", default=".")
     p.add_argument("--output_prefix", default=None)
 
-    # read filter (reference defaults, megapath_nano.py:5061-5068)
-    p.add_argument("--read_filter_min_quality", type=float, default=7.0)
-    p.add_argument("--read_filter_min_length", type=int, default=0)
+    # read filter (reference defaults, megapath_nano.py:5061-5068).
+    # --min_read_quality/--min_read_length are the reference's names;
+    # the read_filter_* spellings are kept as aliases
+    p.add_argument("--min_read_quality", "--read_filter_min_quality",
+                   dest="read_filter_min_quality", type=float, default=7.0)
+    p.add_argument("--min_read_length", "--read_filter_min_length",
+                   dest="read_filter_min_length", type=int, default=0)
     p.add_argument("--head_crop", type=int, default=0)
     p.add_argument("--tail_crop", type=int, default=0)
 
@@ -65,6 +69,44 @@ def build_parser() -> argparse.ArgumentParser:
     gate("amplicon_filter_module", False)
     gate("amr", True)
     gate("assembly_selection", False)   # steps 4-6 (reference :4987)
+    gate("read_trimming", True)         # head/tail crop applies (:4983)
+    gate("reassign_read_id", False)     # sequential read ids (:5004)
+    # stage subsets (reference :4893-4905, :4185-4186)
+    gate("mapping_only", False)         # stop after placement (.species.*)
+    gate("filter_fq_only", False)       # stop after QC; write filtered fq
+    gate("all_taxon_module_steps", True)  # False == filter_fq_only (:4185)
+    p.add_argument("--taxon_module_only", action="store_true",
+                   help="skip the AMR module (reference module_option "
+                        "taxon_module)")
+    # output toggles (reference defaults :5007-5023)
+    gate("output_PAF", True)
+    gate("output_noise_stat", True)
+    gate("output_separate_noise_bed", True)
+    gate("output_human_stat", True)
+    gate("output_decoy_stat", True)
+    gate("output_id_signal", True)
+    gate("output_raw_signal", True)
+    gate("output_per_read_data", True)
+    gate("output_quality_score_histogram", True)
+    gate("output_read_length_histogram", True)
+    gate("output_genome_set", True)
+    gate("output_trimmed_and_filtered_query", False)
+    p.add_argument("--archive_format", choices=["gztar", "tar", "zip"],
+                   default="gztar",
+                   help="format of the .per_read/.noise/... archives "
+                        "(reference :5130)")
+    p.add_argument("--read_length_bin_size", type=int, default=None,
+                   help="fixed-width read-length histogram bins "
+                        "(reference default 100; None = log-ish edges)")
+    p.add_argument("--quality_score_bin_size", type=float, default=None,
+                   help="quality histogram bin width (reference default "
+                        "0.2; None = 1-phred bins)")
+    p.add_argument("--max_aligner_thread", type=int, default=None,
+                   help="native-layer thread cap (index build, host "
+                        "seeding; default: all cores; reference :5049)")
+    p.add_argument("--debug", action="store_true",
+                   help="verbose step logging to stderr (reference keeps "
+                        "temp files; this design has no temp files)")
 
     p.add_argument("--assembly_db",
                    help="assembly-ID genome set RefDB (extra candidate "
@@ -130,6 +172,36 @@ def build_parser() -> argparse.ArgumentParser:
                    default=10000)
     p.add_argument("--noise_projection_simulated_read_length_multiplier",
                    type=float, default=0.5)
+    p.add_argument("--min_percent_abundance_to_perform_noise_projection",
+                   type=int, default=25,
+                   help="min %% of the genus-top abundance for an assembly "
+                        "to act as a simulation source (:5116)")
+    p.add_argument("--noise_projection_simulated_read_length_bin_size",
+                   type=int, default=1000,
+                   help="simulated max read length rounds to this bin "
+                        "(:5117)")
+    # microbe-repetitive ladder tunables (:5090-5098)
+    p.add_argument("--microbe_repetitive_region_filter_abundance_threshold_80",
+                   type=float, default=160.0)
+    p.add_argument("--microbe_repetitive_region_filter_abundance_threshold_90",
+                   type=float, default=80.0)
+    p.add_argument("--microbe_repetitive_region_filter_abundance_threshold_95",
+                   type=float, default=40.0)
+    p.add_argument("--microbe_repetitive_region_filter_abundance_threshold_98",
+                   type=float, default=16.0)
+    p.add_argument("--microbe_repetitive_region_filter_abundance_threshold_99",
+                   type=float, default=8.0)
+    p.add_argument(
+        "--microbe_repetitive_region_filter_abundance_threshold_99_2",
+        type=float, default=6.4)
+    p.add_argument(
+        "--microbe_repetitive_region_filter_targeted_max_span_percent",
+        type=float, default=90.0)
+    p.add_argument(
+        "--microbe_repetitive_region_filter_allowed_max_span_percent",
+        type=float, default=97.0)
+    p.add_argument("--microbe_repetitive_region_filter_min_average_depth",
+                   type=float, default=0.2)
     p.add_argument("--max_aligned_reads", type=int, default=0,
                    help="0 = no cap")
     p.add_argument("--backend", choices=["pallas", "jnp"], default=None,
@@ -172,6 +244,21 @@ def options_from_args(args, *, have_human=False, have_decoy=False,
         variable_region_percent=args.variable_region_percent / 100.0,
         human_repetitive_filter=args.human_repetitive_region_filter,
         microbe_repetitive_filter=args.microbe_repetitive_region_filter,
+        microbe_rep_thresholds=(
+            args.microbe_repetitive_region_filter_abundance_threshold_80,
+            args.microbe_repetitive_region_filter_abundance_threshold_90,
+            args.microbe_repetitive_region_filter_abundance_threshold_95,
+            args.microbe_repetitive_region_filter_abundance_threshold_98,
+            args.microbe_repetitive_region_filter_abundance_threshold_99,
+            args.microbe_repetitive_region_filter_abundance_threshold_99_2),
+        microbe_rep_targeted_max_span=(
+            args.microbe_repetitive_region_filter_targeted_max_span_percent
+            / 100.0),
+        microbe_rep_allowed_max_span=(
+            args.microbe_repetitive_region_filter_allowed_max_span_percent
+            / 100.0),
+        microbe_rep_min_average_depth=(
+            args.microbe_repetitive_region_filter_min_average_depth),
         similar_species_marker=args.similar_species_marker,
         similar_marker_num_genus=args.similar_species_marker_num_genus,
         similar_marker_cond1=(
@@ -188,6 +275,10 @@ def options_from_args(args, *, have_human=False, have_decoy=False,
         noise_projection_reads=args.noise_projection_num_read_to_simulate,
         noise_projection_read_length_multiplier=(
             args.noise_projection_simulated_read_length_multiplier),
+        noise_projection_min_percent_abundance=float(
+            args.min_percent_abundance_to_perform_noise_projection),
+        noise_projection_length_bin_size=(
+            args.noise_projection_simulated_read_length_bin_size),
         amplicon_filter_module=args.amplicon_filter_module,
         assembly_selection=args.assembly_selection and have_assembly,
         assembly_id_min_average_depth=args.assembly_id_min_average_depth,
@@ -203,8 +294,43 @@ def options_from_args(args, *, have_human=False, have_decoy=False,
     )
 
 
+def output_gates_from_args(args) -> set:
+    """The write_reports `enabled` set from the --output_* toggles."""
+    gates = set()
+    for flag, key in (("output_PAF", "PAF"),
+                      ("output_noise_stat", "noise_stat"),
+                      ("output_separate_noise_bed", "separate_noise_bed"),
+                      ("output_human_stat", "human_stat"),
+                      ("output_decoy_stat", "decoy_stat"),
+                      ("output_id_signal", "id_signal"),
+                      ("output_raw_signal", "raw_signal"),
+                      ("output_per_read_data", "per_read_data"),
+                      ("output_quality_score_histogram",
+                       "quality_score_histogram"),
+                      ("output_read_length_histogram",
+                       "read_length_histogram"),
+                      ("output_genome_set", "genome_set")):
+        if getattr(args, flag):
+            gates.add(key)
+    # ungated outputs are always on
+    gates |= {"id_stat", "raw_stat", "unique_stat"}
+    return gates
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.taxon_module_only:
+        args.amr = False
+    if not args.all_taxon_module_steps:
+        args.filter_fq_only = True
+    if args.debug:
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG)
+    if args.max_aligner_thread:
+        from megapath_nano_tpu.native import lib as native_lib
+
+        native_lib.DEFAULT_THREADS = args.max_aligner_thread
 
     # Honor JAX_PLATFORMS even when a sitecustomize pinned another backend
     # via jax.config (as the axon TPU-tunnel environment does).
@@ -259,7 +385,8 @@ def main(argv=None) -> int:
         for path in args.query:
             batch = read_fastq(
                 path,
-                head_crop=args.head_crop, tail_crop=args.tail_crop,
+                head_crop=args.head_crop if args.read_trimming else 0,
+                tail_crop=args.tail_crop if args.read_trimming else 0,
                 min_length=args.read_filter_min_length,
                 min_quality=(args.read_filter_min_quality
                              if args.read_filter else 0.0))
@@ -281,9 +408,56 @@ def main(argv=None) -> int:
                 f"adapters: {tr.n_start_trimmed} start / {tr.n_end_trimmed} "
                 f"end trimmed, {tr.n_split} split, {tr.n_dropped} dropped")
     log.message(f"{len(reads)} reads pass QC")
+    if args.reassign_read_id:
+        # nanofastq --reassign_read_id semantics: sequential numeric ids
+        names = [str(i) for i in range(len(names))]
     if not reads:
         print("no reads after filtering", file=sys.stderr)
         return 1
+
+    prefix = args.output_prefix or os.path.splitext(
+        os.path.basename(args.query[0]))[0]
+    os.makedirs(args.output_folder, exist_ok=True)
+    if args.filter_fq_only or args.output_trimmed_and_filtered_query:
+        from megapath_nano_tpu.io.fastq import write_fastq
+
+        fq_out = os.path.join(args.output_folder,
+                              f"{prefix}.trimmed_and_filtered.fastq")
+        with log.step("write_filtered_fastq"):
+            write_fastq(fq_out, names, reads)
+        if args.filter_fq_only:
+            log.message(f"filter_fq_only: wrote {fq_out}")
+            with open(os.path.join(args.output_folder,
+                                   f"{prefix}.timing"), "w") as f:
+                f.write(log.timing_table() + "\n")
+            return 0
+
+    if args.mapping_only:
+        from megapath_nano_tpu.report.samout import write_paf, write_sam
+
+        options = options_from_args(args)
+        aligner0 = None
+        from megapath_nano_tpu.align.pipeline import MinimizerAligner
+
+        aligner0 = MinimizerAligner(db.index, db.sequence_meta,
+                                    options.align)
+        with log.step("placement_to_species"):
+            # mapping-only runs exist to EXPORT alignments, so emit real
+            # CIGARs for the SAM (reference always writes .species.sam)
+            al = aligner0.map_reads(reads, names,
+                                    slice_size=options.map_slice,
+                                    emit_cigars=True)
+        paf_path = os.path.join(args.output_folder, f"{prefix}.species.paf")
+        write_paf(paf_path, al)
+        if al.cigar_map is not None:
+            write_sam(os.path.join(args.output_folder,
+                                   f"{prefix}.species.sam"),
+                      al, reads, db.index.seq_lengths)
+        with open(os.path.join(args.output_folder,
+                               f"{prefix}.timing"), "w") as f:
+            f.write(log.timing_table() + "\n")
+        log.message(f"mapping_only: wrote {paf_path}")
+        return 0
 
     options = options_from_args(args, have_human=human_db is not None,
                                 have_decoy=decoy_db is not None,
@@ -303,16 +477,18 @@ def main(argv=None) -> int:
     profiler = TaxonProfiler(db, options, human_db=human_db,
                              decoy_db=decoy_db, log=log, aligner=aligner,
                              assembly_db=assembly_db)
+    profiler._length_bin = args.read_length_bin_size
+    profiler._quality_bin = args.quality_score_bin_size
     result = profiler.profile(reads, names)
 
-    prefix = args.output_prefix or os.path.splitext(
-        os.path.basename(args.query[0]))[0]
     all_lengths = np.array([len(r) for r in reads], np.int64)
     paths = profiler.write_reports(
         result, args.output_folder, prefix,
         read_lengths=all_lengths,
         read_quals=None,
-        reads=reads)
+        reads=reads,
+        archive_format=args.archive_format,
+        enabled=output_gates_from_args(args))
 
     if args.amr and args.amr_db and len(result.best):
         from megapath_nano_tpu.amr.db import AMRGeneDB

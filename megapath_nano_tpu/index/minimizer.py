@@ -130,11 +130,11 @@ class MinimizerIndex:
         keep_seq: bool = True,
         n_threads: int | None = None,
     ) -> "MinimizerIndex":
-        import os
+        from megapath_nano_tpu.native.lib import default_threads
 
         lib = load_native_lib()
         if n_threads is None:
-            n_threads = max(1, os.cpu_count() or 1)
+            n_threads = default_threads()
         n_seqs = len(seqs)
         flat = (
             np.concatenate([np.asarray(s, dtype=np.int8) for s in seqs])

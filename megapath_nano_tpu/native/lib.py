@@ -159,6 +159,16 @@ def _declare(lib: ctypes.CDLL) -> None:
     ]
 
 
+# Native-layer thread cap (--max_aligner_thread); None = all cores.
+DEFAULT_THREADS = None
+
+
+def default_threads() -> int:
+    import os
+
+    return DEFAULT_THREADS or max(1, os.cpu_count() or 1)
+
+
 def load_native_lib() -> ctypes.CDLL:
     """Load (building if necessary) libmpn_native.so."""
     global _lib

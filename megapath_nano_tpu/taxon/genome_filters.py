@@ -171,6 +171,12 @@ def microbe_repetitive_beds(
     name_of: dict[int, str] | None = None,
     targeted_max_span: float = 0.90,   # --..._targeted_max_span_percent/100
     allowed_max_span: float = 0.97,    # --..._allowed_max_span_percent/100
+    ratio_ladder=None,                 # override RATIO_LADDER (the
+    #                                    --..._abundance_threshold_* flags)
+    depth_of: dict[int, float] | None = None,
+    min_source_depth: float = 0.0,     # --..._min_average_depth: an
+    #                                    assembly below this depth is never
+    #                                    a noise SOURCE (:2026-2027)
 ) -> np.ndarray:
     """Step 12: for each (high, low) abundance pair passing the ratio
     ladder, regions of the LOW assembly covered by the HIGH genome at the
@@ -188,9 +194,10 @@ def microbe_repetitive_beds(
     on disk keyed by assembly NAMES — the reference's `.asmNN.bed` caches
     (:2087-2092): a rerun skips every pair already aligned at that
     preset."""
+    ladder = ratio_ladder if ratio_ladder is not None else RATIO_LADDER
     beds = []
     ids = sorted(abundances, key=lambda a: -abundances[a])
-    sims = sorted(s for _, s, _ in RATIO_LADDER)    # ascending similarity
+    sims = sorted(s for _, s, _ in ladder)          # ascending similarity
     tier_idx_cache: dict[tuple, MinimizerIndex] = {}
 
     def tier_index(low: int, sim: float) -> MinimizerIndex:
@@ -206,13 +213,16 @@ def microbe_repetitive_beds(
         return tier_idx_cache[key]
 
     for hi_pos, high in enumerate(ids):
+        if (depth_of is not None
+                and depth_of.get(high, 0.0) < min_source_depth):
+            continue
         for low in ids[hi_pos + 1:]:
             ab_h, ab_l = abundances[high], abundances[low]
             if ab_l <= 0:
                 continue
             ratio = ab_h / ab_l
             sim = None
-            for min_ratio, similarity, same_genus in RATIO_LADDER:
+            for min_ratio, similarity, same_genus in ladder:
                 if ratio >= min_ratio and (
                         not same_genus
                         or genus_of.get(high) == genus_of.get(low)):

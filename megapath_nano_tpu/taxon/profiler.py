@@ -66,6 +66,12 @@ class ProfileOptions:
     spike_stdev: float = 6.0                # mean + k*sqrt(mean) (:5100)
     human_repetitive_filter: bool = False   # step 10 (off, :4990)
     microbe_repetitive_filter: bool = False  # step 12 (off, :4991)
+    # --microbe_repetitive_region_filter_abundance_threshold_{80..99_2}
+    # (:5090-5095) — the ratio ladder's six min-ratio rungs
+    microbe_rep_thresholds: tuple = (160.0, 80.0, 40.0, 16.0, 8.0, 6.4)
+    microbe_rep_targeted_max_span: float = 0.90   # (:5096)
+    microbe_rep_allowed_max_span: float = 0.97    # (:5097)
+    microbe_rep_min_average_depth: float = 0.2    # (:5098)
     variable_region_adjustment: bool = False  # step 8 (off, :4988)
     variable_region_percent: float = 0.5    # --variable_region_percent/100
     #                                         (:5084, default 50)
@@ -80,6 +86,13 @@ class ProfileOptions:
     noise_projection_reads: int = 1000
     noise_projection_num_genus: int = 3     # (:5115)
     noise_projection_read_length_multiplier: float = 0.5   # (:5118)
+    # --min_percent_abundance_to_perform_noise_projection (:5116): within a
+    # selected genus, every assembly with >= this % of the genus-top
+    # abundance acts as a simulation SOURCE (reference :2661-2672)
+    noise_projection_min_percent_abundance: float = 25.0
+    # --noise_projection_simulated_read_length_bin_size (:5117): simulated
+    # max read length rounds to this bin (reference :2675-2677)
+    noise_projection_length_bin_size: int = 1000
     amplicon_filter_module: bool = False    # exit after placement (:1279)
     closing_spike_filter: bool = False      # off (:4992)
     closing_spike_stdev: float = 9.0        # (:5109)
@@ -171,6 +184,10 @@ class TaxonProfiler:
                                                    self.options.align)
         self.human_db = human_db
         self.decoy_db = decoy_db
+        # histogram bin overrides (--read_length_bin_size /
+        # --quality_score_bin_size); None = writer defaults
+        self._length_bin = None
+        self._quality_bin = None
         self.log = log or Log("taxon")
         self._bed_cache = None
         if self.options.genome_pair_cache_dir:
@@ -556,9 +573,12 @@ class TaxonProfiler:
         from megapath_nano_tpu.taxon.genome_filters import \
             microbe_repetitive_beds
 
+        opt = self.options
         pre_stat = align_stat_by_assembly(align_list, info, None)
         abundances = {int(r["assembly_id"]): float(r["adjusted_total_aligned_bp"])
                       for r in pre_stat}
+        depth_of = {int(r["assembly_id"]): float(r["adjusted_average_depth"])
+                    for r in pre_stat}
         # cap to the top assemblies to bound pairwise work
         top = sorted(abundances, key=lambda a: -abundances[a])[:8]
         abundances = {a: abundances[a] for a in top}
@@ -571,11 +591,18 @@ class TaxonProfiler:
             idx_of[a] = MinimizerIndex.build(
                 seqs, [f"a{a}s{i}" for i in range(len(seqs))])
             sa_of[a] = np.full(len(seqs), a, np.int32)
+        t80, t90, t95, t98, t99, t992 = opt.microbe_rep_thresholds
+        ladder = [(t80, 0.80, False), (t90, 0.90, False), (t95, 0.95, False),
+                  (t98, 0.98, True), (t99, 0.99, True), (t992, 0.992, True)]
         bed = microbe_repetitive_beds(
             assemblies, abundances, genus_of, idx_of, sa_of,
             backend=self.options.align.backend,
             cache=self._bed_cache,
-            name_of={a: self.db.assembly_names[a] for a in top})
+            name_of={a: self.db.assembly_names[a] for a in top},
+            targeted_max_span=opt.microbe_rep_targeted_max_span,
+            allowed_max_span=opt.microbe_rep_allowed_max_span,
+            ratio_ladder=ladder, depth_of=depth_of,
+            min_source_depth=opt.microbe_rep_min_average_depth)
         if len(bed):
             # sequence ids in the per-assembly indexes are local; map back to
             # global sequence ids of the main db
@@ -649,21 +676,34 @@ class TaxonProfiler:
             genera_done.add(g)
             if len(genera_done) > opt.noise_projection_num_genus:
                 break
-            src = int(row["assembly_id"])
-            sibs = {a: self._assembly_seqs(self.db, a)
-                    for a in range(len(self.db.assembly_names))
-                    if int(self.db.assembly_tax[a, 2]) == g and a != src}
-            if not sibs:
-                continue
-            # read length cap = multiplier x the source's average read
-            # length (megapath_nano.py:2675-2685, default 0.5)
-            avg_len = float(row["average_read_length"]) or 1000.0
-            mult = opt.noise_projection_read_length_multiplier
-            projections.extend(project_noise(
-                src, self._assembly_seqs(self.db, src), sibs,
-                n_reads=opt.noise_projection_reads,
-                max_read_length=max(int(avg_len * mult), 300),
-                backend=opt.align.backend))
+            # every genus member with >= min_percent_abundance of the
+            # genus top acts as a simulation source (reference :2661-2672)
+            genus_rows = stat[stat["genus_tax_id"] == g]
+            top_ab = float(row["adjusted_total_aligned_bp"])
+            min_ab = top_ab * opt.noise_projection_min_percent_abundance \
+                / 100.0
+            sources = genus_rows[
+                genus_rows["adjusted_total_aligned_bp"] >= min_ab]
+            for srow in sources:
+                src = int(srow["assembly_id"])
+                sibs = {a: self._assembly_seqs(self.db, a)
+                        for a in range(len(self.db.assembly_names))
+                        if int(self.db.assembly_tax[a, 2]) == g and a != src}
+                if not sibs:
+                    continue
+                # read length cap = multiplier x the source's average read
+                # length, rounded to the simulation length bin
+                # (megapath_nano.py:2675-2677, default 0.5 / 1000)
+                avg_len = float(srow["average_read_length"]) or 1000.0
+                mult = opt.noise_projection_read_length_multiplier
+                bsz = max(int(opt.noise_projection_length_bin_size), 1)
+                max_len = int((avg_len * mult + bsz / 2) // bsz) * bsz
+                max_len = max(max_len, bsz)
+                projections.extend(project_noise(
+                    src, self._assembly_seqs(self.db, src), sibs,
+                    n_reads=opt.noise_projection_reads,
+                    max_read_length=max_len,
+                    backend=opt.align.backend))
         return projections
 
     def _similar_species_marks(self, stat) -> dict[int, bool]:
@@ -722,7 +762,8 @@ class TaxonProfiler:
                       read_lengths: np.ndarray | None = None,
                       read_quals: np.ndarray | None = None,
                       reads: list | None = None,
-                      archive_format: str = "gztar") -> dict:
+                      archive_format: str = "gztar",
+                      enabled: set | None = None) -> dict:
         """Full output surface (step 27, megapath_nano.py:3275-3888):
         .genome_set, .per_read archive (read/human/decoy/id/raw/list/
         microbe/unique/noise lists), .quality_score/.read_length archives,
@@ -731,7 +772,16 @@ class TaxonProfiler:
         marker), .unique_stat, .preport, .read_count_by_name,
         .microbe_stat_by_sequence_id, .bam_filter/.bam_filter_good,
         .noise.bed + per-source beds + .noise archive (noise_stat /
-        noise_source_stat), .species.sam/.paf."""
+        noise_source_stat), .species.sam/.paf.
+
+        enabled: None writes everything; otherwise a set of output-group
+        keys mirroring the reference's --output_* toggles (genome_set,
+        id_signal, raw_signal, human_stat, decoy_stat, noise_stat,
+        separate_noise_bed, per_read_data, read_length_histogram,
+        quality_score_histogram, PAF)."""
+
+        def on(key: str) -> bool:
+            return enabled is None or key in enabled
         import shutil
         import tempfile
 
@@ -770,22 +820,28 @@ class TaxonProfiler:
                            similar_marks=result.similar_marks)
 
         # .genome_set (assembly_info table, ref :3335)
-        paths["genome_set"] = fp + ".genome_set"
-        write_genome_set(paths["genome_set"], asm_names,
-                         result.stat, self.db)
+        if on("genome_set"):
+            paths["genome_set"] = fp + ".genome_set"
+            write_genome_set(paths["genome_set"], asm_names,
+                             result.stat, self.db)
 
         # stage stat tables
+        gate_of = {"id_stat": "id_signal", "raw_stat": "raw_signal"}
         for key, table in [("id_stat", result.id_stat),
                            ("raw_stat", result.raw_stat),
                            ("unique_stat", result.unique_stat)]:
+            if not on(gate_of.get(key, key)):
+                continue
             if table is not None:
                 paths[key] = fp + f".{key}"
                 write_stat_table(paths[key], table, asm_names)
-        if result.human_stat is not None and self.human_db is not None:
+        if result.human_stat is not None and self.human_db is not None \
+                and on("human_stat"):
             paths["human_stat"] = fp + ".human_stat"
             write_stat_table(paths["human_stat"], result.human_stat,
                              list(self.human_db.index.seq_names))
-        if result.decoy_stat is not None and self.decoy_db is not None:
+        if result.decoy_stat is not None and self.decoy_db is not None \
+                and on("decoy_stat"):
             paths["decoy_stat"] = fp + ".decoy_stat"
             write_stat_table(paths["decoy_stat"], result.decoy_stat,
                              list(self.decoy_db.index.seq_names))
@@ -862,11 +918,12 @@ class TaxonProfiler:
             write_bed_tsv(paths["noise_bed"], result.noise_bed,
                           result.sequence_names, asm_names)
         for source, bed in result.noise_sources.items():
-            if len(bed):
+            if len(bed) and on("separate_noise_bed"):
                 paths[f"{source}_noise_bed"] = fp + f".{source}_noise.bed"
                 write_bed_tsv(paths[f"{source}_noise_bed"], bed,
                               result.sequence_names, asm_names)
-        if result.pre_noise_best is not None and len(result.pre_noise_best):
+        if result.pre_noise_best is not None and len(result.pre_noise_best) \
+                and on("noise_stat"):
             ntmp = tempfile.mkdtemp(prefix="noise_out_")
             table, all_mask = noise_removal_stats(
                 result.pre_noise_best, result.noise_sources,
@@ -967,44 +1024,46 @@ class TaxonProfiler:
                     f.write(f"{sp}\t{name}\n")
 
         # per-read archive (ref :3345-3360)
-        ptmp = tempfile.mkdtemp(prefix="per_read_out_")
-        pp = os.path.join(ptmp, prefix)
-        with open(pp + ".read_list", "w") as f:
-            f.write("read_id\tread_length\tpassed_filter\taligned"
-                    "\thuman_read\tdecoy_read\tmicrobe_read\n")
-            for rid in range(n_in):
-                f.write(f"{rid}\t{int(rl[rid]) if rid < len(rl) else 0}\t1"
+        if on("per_read_data"):
+            ptmp = tempfile.mkdtemp(prefix="per_read_out_")
+            pp = os.path.join(ptmp, prefix)
+            with open(pp + ".read_list", "w") as f:
+                f.write("read_id\tread_length\tpassed_filter\taligned"
+                        "\thuman_read\tdecoy_read\tmicrobe_read\n")
+                for rid in range(n_in):
+                    f.write(
+                        f"{rid}\t{int(rl[rid]) if rid < len(rl) else 0}\t1"
                         f"\t{int(rid in aligned_set)}"
                         f"\t{int(rid in human_set)}"
                         f"\t{int(rid in decoy_set)}"
                         f"\t{int(rid in micro_set)}\n")
-        listed = [("microbe_list", best), ("list", result.align_list)]
-        if result.human_best is not None:
-            listed.append(("human_list", result.human_best))
-        if result.decoy_best is not None:
-            listed.append(("decoy_list", result.decoy_best))
-        if result.pre_noise_best is not None:
-            listed.append(("raw_list", result.pre_noise_best))
-            table2, all_mask2 = noise_removal_stats(
-                result.pre_noise_best, result.noise_sources,
-                result.noise_bed,
-                min_align_length=self.options.min_alignment_length,
-                overlap_fraction=self.options.noise_overlap_fraction)
-            listed.append(("noise_list",
-                           result.pre_noise_best.filter(all_mask2)))
-        if result.unique_read_ids is not None and len(best):
-            uset = set(result.unique_read_ids.tolist())
-            umask = np.array([int(r) in uset
-                              for r in best.data["read_id"]])
-            listed.append(("unique_list", best.filter(umask)))
-        for name, al in listed:
-            write_align_list_tsv(pp + f".{name}", al)
-        paths["per_read_archive"] = shutil.make_archive(
-            fp + ".per_read", format=archive_format, root_dir=ptmp)
-        shutil.rmtree(ptmp)
+            listed = [("microbe_list", best), ("list", result.align_list)]
+            if result.human_best is not None:
+                listed.append(("human_list", result.human_best))
+            if result.decoy_best is not None:
+                listed.append(("decoy_list", result.decoy_best))
+            if result.pre_noise_best is not None:
+                listed.append(("raw_list", result.pre_noise_best))
+                table2, all_mask2 = noise_removal_stats(
+                    result.pre_noise_best, result.noise_sources,
+                    result.noise_bed,
+                    min_align_length=self.options.min_alignment_length,
+                    overlap_fraction=self.options.noise_overlap_fraction)
+                listed.append(("noise_list",
+                               result.pre_noise_best.filter(all_mask2)))
+            if result.unique_read_ids is not None and len(best):
+                uset = set(result.unique_read_ids.tolist())
+                umask = np.array([int(r) in uset
+                                  for r in best.data["read_id"]])
+                listed.append(("unique_list", best.filter(umask)))
+            for name, al in listed:
+                write_align_list_tsv(pp + f".{name}", al)
+            paths["per_read_archive"] = shutil.make_archive(
+                fp + ".per_read", format=archive_format, root_dir=ptmp)
+            shutil.rmtree(ptmp)
 
         # alignment record outputs (.species.sam/.paf, lib/aligner.py:245-261)
-        if reads is not None and len(result.best):
+        if reads is not None and len(result.best) and on("PAF"):
             from megapath_nano_tpu.report.samout import write_paf, write_sam
 
             paths["species_paf"] = fp + ".species.paf"
@@ -1038,8 +1097,12 @@ class TaxonProfiler:
                 "unaligned": cat(~amask if n_in else amask),
             }
             htmp = tempfile.mkdtemp(prefix="hist_out_")
-            hp = write_histograms(htmp, prefix, cats)
+            hp = write_histograms(htmp, prefix, cats,
+                                  length_bin=self._length_bin,
+                                  quality_bin=self._quality_bin)
             for kind in ("read_length", "quality_score"):
+                if not on(f"{kind}_histogram"):
+                    continue
                 ktmp = tempfile.mkdtemp(prefix=f"{kind}_out_")
                 shutil.copy(hp[kind], ktmp)
                 paths[f"{kind}_archive"] = shutil.make_archive(

@@ -44,3 +44,28 @@ def pytest_sessionstart(session):
         "tests must run on CPU; got " + repr(jax.devices()[:2])
     )
     assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the multi-minute shard_map compile "
+             "and training tests; also enabled by RUN_SLOW=1)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute test; excluded from the default "
+        "lane, run with --runslow / RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow lane (run with --runslow or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

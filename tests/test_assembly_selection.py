@@ -4,6 +4,7 @@ TaxonProfiler.profile behind the --assembly_selection gate (off by default,
 :4987)."""
 
 import numpy as np
+import pytest
 
 from megapath_nano_tpu.align.pipeline import AlignParams
 from megapath_nano_tpu.db.refdb import RefDB
@@ -85,6 +86,7 @@ def test_profiler_gate_off_keeps_align_list_and_selects_from_species_set():
     assert res.assembly_names == ["asmA1", "asmB1"]
 
 
+@pytest.mark.slow
 def test_profiler_gate_on_runs_steps_4_to_7():
     main_db, assembly_db, reads = _worlds()
     prof = TaxonProfiler(

@@ -195,3 +195,93 @@ def test_tunable_flags_reach_options():
     assert dflt.similar_marker_cond2 == (0.95, 0.75)
     assert dflt.similar_marker_combine == "or"
     assert dflt.noise_projection_reads == 10000
+
+
+def test_reference_flag_coverage():
+    """Every flag of the reference's megapath_nano.py argparse surface
+    (fixture: tests/golden/reference_flags.txt, extracted from
+    /root/reference/bin/megapath_nano.py:4831-5146) must have a row in
+    docs/USAGE.md's coverage table, and every row claiming a CLI equivalent
+    must actually parse in the named parser."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    flags = [ln.strip() for ln in
+             open(os.path.join(here, "tests", "golden",
+                               "reference_flags.txt")) if ln.strip()]
+    usage = open(os.path.join(here, "docs", "USAGE.md")).read()
+    section = usage.split("## Reference flag coverage", 1)[1]
+    rows = {}
+    for ln in section.splitlines():
+        parts = [c.strip() for c in ln.split("|")]
+        if len(parts) >= 4 and re.fullmatch(r"`[A-Za-z_0-9]+`", parts[1]):
+            rows[parts[1].strip("`")] = (parts[2], parts[3])
+
+    missing = [f for f in flags if f not in rows]
+    assert not missing, f"flags missing from USAGE.md table: {missing}"
+
+    from megapath_nano_tpu.cli import amplicon as cli_amplicon
+    from megapath_nano_tpu.cli import amr as cli_amr
+    from megapath_nano_tpu.cli import main as cli_main
+
+    main_opts = cli_main.build_parser()._option_string_actions
+    amp_opts = cli_amplicon.build_parser()._option_string_actions
+    amr_opts = cli_amr.build_parser()._option_string_actions
+
+    for ref_flag, (equiv, notes) in rows.items():
+        if equiv == "N/A":
+            assert notes, f"{ref_flag}: N/A rows need a reason"
+            continue
+        m = re.search(r"`(?:cli/(\w+)\.py )?(--[A-Za-z_0-9]+)`", equiv)
+        if not m:
+            # module-level equivalents (e.g. `python -m ...cli.amr`)
+            assert "cli." in equiv or "`--" not in equiv, (ref_flag, equiv)
+            continue
+        where, flag = m.group(1), m.group(2)
+        opts = {"amplicon": amp_opts, "amr": amr_opts}.get(where, main_opts)
+        assert flag in opts, f"{ref_flag}: claimed equivalent {flag} " \
+                             f"does not parse in {where or 'main'}"
+
+
+def test_stage_subset_and_output_toggle_flags():
+    """--filter_fq_only / --mapping_only / --taxon_module_only /
+    output toggles parse and wire (no pipeline run needed)."""
+    from megapath_nano_tpu.cli.main import (build_parser,
+                                            output_gates_from_args)
+
+    a = build_parser().parse_args(
+        ["--query", "x.fq", "--db", "d", "--filter_fq_only",
+         "--no_output_per_read_data", "--no_output_noise_stat",
+         "--archive_format", "zip", "--read_length_bin_size", "250",
+         "--min_read_quality", "9.5", "--min_read_length", "400"])
+    assert a.filter_fq_only and a.archive_format == "zip"
+    assert a.read_filter_min_quality == 9.5
+    assert a.read_filter_min_length == 400
+    gates = output_gates_from_args(a)
+    assert "per_read_data" not in gates and "noise_stat" not in gates
+    assert "PAF" in gates and "genome_set" in gates
+
+    b = build_parser().parse_args(
+        ["--query", "x.fq", "--db", "d", "--no_all_taxon_module_steps"])
+    assert not b.all_taxon_module_steps
+
+    c = build_parser().parse_args(
+        ["--query", "x.fq", "--db", "d", "--taxon_module_only",
+         "--mapping_only"])
+    assert c.taxon_module_only and c.mapping_only
+
+    # microbe-rep ladder + noise projection tunables reach ProfileOptions
+    from megapath_nano_tpu.cli.main import options_from_args
+
+    d = build_parser().parse_args(
+        ["--query", "x.fq", "--db", "d",
+         "--microbe_repetitive_region_filter_abundance_threshold_80", "100",
+         "--microbe_repetitive_region_filter_min_average_depth", "0.5",
+         "--min_percent_abundance_to_perform_noise_projection", "30",
+         "--noise_projection_simulated_read_length_bin_size", "500"])
+    opt = options_from_args(d)
+    assert opt.microbe_rep_thresholds[0] == 100.0
+    assert opt.microbe_rep_min_average_depth == 0.5
+    assert opt.noise_projection_min_percent_abundance == 30.0
+    assert opt.noise_projection_length_bin_size == 500

@@ -58,6 +58,7 @@ def test_devseed_matches_host_single_slice():
     _assert_equal(dev, host)
 
 
+@pytest.mark.slow
 def test_devseed_matches_host_pipelined():
     """Sliced async pipeline (the production profiler path)."""
     index, reads = _world(seed=9, n_reads=160)

@@ -1,6 +1,7 @@
 """dist/: sharded alignment step and scaling harness on the virtual mesh."""
 
 import numpy as np
+import pytest
 
 from megapath_nano_tpu.dist.scaling import measure_scaling
 
@@ -12,6 +13,7 @@ def test_sharded_dryrun_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_scaling_harness_runs():
     points = measure_scaling([1, 2], genome_per_shard=20000, n_reads=32,
                              iters=1)

@@ -28,7 +28,8 @@ def _world(seed=0, n_genomes=6, glen=20000, n_reads=64):
     return genomes, names, reads
 
 
-@pytest.mark.parametrize("n_shards", [2, 4])
+@pytest.mark.parametrize(
+    "n_shards", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_shard_map_matches_single_index(n_shards):
     genomes, names, reads = _world()
     params = AlignParams(backend="jnp")
@@ -46,6 +47,7 @@ def test_shard_map_matches_single_index(n_shards):
 
 
 @pytest.mark.parametrize("n_data,n_shards", [(2, 2), (2, 4), (4, 2)])
+@pytest.mark.slow
 def test_shard_map_data_axis_matches_single_index(n_data, n_shards):
     """Reads data-parallel over the "data" axis × index sharded over
     "shard": output must stay field-identical to the single-index mapper,
@@ -65,6 +67,7 @@ def test_shard_map_data_axis_matches_single_index(n_data, n_shards):
         np.testing.assert_array_equal(a.data[col], b.data[col], err_msg=col)
 
 
+@pytest.mark.slow
 def test_shard_map_empty_shard_and_slicing():
     genomes, names, reads = _world(seed=5, n_genomes=2, n_reads=40)
     params = AlignParams(backend="jnp")
@@ -80,6 +83,7 @@ def test_shard_map_empty_shard_and_slicing():
         np.testing.assert_array_equal(a.data[col], b.data[col], err_msg=col)
 
 
+@pytest.mark.slow
 def test_shard_map_overflow_falls_back_exactly():
     genomes, names, reads = _world(seed=9, n_genomes=4, n_reads=24)
     params = AlignParams(backend="jnp", devseed_out_per_read=2)
@@ -125,6 +129,7 @@ def test_shard_map_multilocus_repeat():
     assert abs(froms[0] - 4100) < 150 and abs(froms[1] - 12100) < 150
 
 
+@pytest.mark.slow
 def test_planes_save_load_roundtrip(tmp_path):
     genomes, names, reads = _world(seed=21, n_genomes=4, n_reads=24)
     params = AlignParams(backend="jnp")

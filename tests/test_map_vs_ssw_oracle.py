@@ -21,7 +21,9 @@ from megapath_nano_tpu.utils.dna import mutate, random_sequence, revcomp
 MATCH, MISMATCH, GAPO, GAPE = 2, 4, 4, 2
 
 
-@pytest.mark.parametrize("emit_cigars", [False, True])
+@pytest.mark.parametrize(
+    "emit_cigars",
+    [pytest.param(False, marks=pytest.mark.slow), True])
 def test_best_alignment_matches_exhaustive_ssw(emit_cigars):
     rng = np.random.default_rng(17)
     genomes = [random_sequence(rng, 15000) for _ in range(3)]

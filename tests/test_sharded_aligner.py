@@ -1,6 +1,7 @@
 """ShardedAligner == single-index MinimizerAligner, field for field."""
 
 import numpy as np
+import pytest
 
 from megapath_nano_tpu.align.pipeline import AlignParams, MinimizerAligner
 from megapath_nano_tpu.dist.sharded_aligner import ShardedAligner
@@ -24,6 +25,7 @@ def _world(seed=0, n_genomes=6, glen=20000):
     return genomes, names, reads
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_index():
     genomes, names, reads = _world()
     params = AlignParams(backend="jnp")

@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from megapath_nano_tpu.db.refdb import RefDB
 from megapath_nano_tpu.io.fastq import write_fastq
@@ -16,6 +17,7 @@ ENV = dict(os.environ, JAX_PLATFORMS="cpu",
            PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""))
 
 
+@pytest.mark.slow
 def test_train_then_call(tmp_path):
     rng = np.random.default_rng(0)
     ref = random_sequence(rng, 9000)
