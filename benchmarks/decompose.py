@@ -86,7 +86,7 @@ def main(argv=None):
     p = aligner.params
     aligner._device_refs(np.zeros(1, np.int32), 256)
     seq_off_dev, seq_len_dev = aligner._device_index_meta()
-    keys32, pos_pair, lut2, runcnt, lut_bits, n_bisect = \
+    keys32, pos_t, ss16, lut2, runcnt, lut_bits, n_bisect = \
         aligner._device_index_planes()
     occ = aligner._index_occupancy()
     wtot_max, a_max, g_max = aligner._devseed_caps(N, L, occ)
@@ -122,10 +122,10 @@ def main(argv=None):
         lut_bits=lut_bits, n_bisect=n_bisect,
         wtot_max=wtot_max, a_max=a_max, g_max=g_max))
     rec["seed_ms"] = timeit(
-        lambda: bg(codes_d, qlens_d, keys32, pos_pair, lut2, runcnt)[7])
+        lambda: bg(codes_d, qlens_d, keys32, pos_t, ss16, lut2, runcnt)[7])
 
     groups = jax.block_until_ready(
-        bg(codes_d, qlens_d, keys32, pos_pair, lut2, runcnt))
+        bg(codes_d, qlens_d, keys32, pos_t, ss16, lut2, runcnt))
     qg, tg, cnt = groups[0], groups[1], groups[2]
 
     # --- chain only (at g_max x cap)

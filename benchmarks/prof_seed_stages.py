@@ -45,7 +45,7 @@ def main():
     aligner = MinimizerAligner(index, params=AlignParams())
     p = aligner.params
     aligner._device_refs(np.zeros(1, np.int32), 256)
-    keys32, pos_pair, lut2, runcnt, lut_bits, n_bisect = \
+    keys32, pos_t_p, ss16_p, lut2, runcnt, lut_bits, n_bisect = \
         aligner._device_index_planes()
     occ = aligner._index_occupancy()
     wtot_max, a_max, g_max = aligner._devseed_caps(N, L, occ)
@@ -76,7 +76,7 @@ def main():
 
     def prefix(stage):
         """Run build_groups stages up to `stage`, return scalar sum."""
-        def f(codes, qlens, keys32, pos_pair, lut2, runcnt):
+        def f(codes, qlens, keys32, pos_t_p, ss16_p, lut2, runcnt):
             n, L = codes.shape
             neww, Hm, Pm, H = ds.sketch_winners(codes, qlens, k=k, w=w)
             if stage == "sketch":
@@ -122,10 +122,9 @@ def main():
             wp = wtrip[am]
             w2 = wp[:, 0]
             within = aslots - wp[:, 1]
-            pidx = jnp.clip(wp[:, 2] + within, 0, pos_pair.shape[0] - 1)
-            tp = pos_pair[pidx]
-            a_t = tp[:, 0]
-            ss = tp[:, 1]
+            pidx = jnp.clip(wp[:, 2] + within, 0, pos_t_p.shape[0] - 1)
+            a_t = pos_t_p[pidx]
+            ss = ss16_p[pidx].astype(jnp.int32)
             a_seq = ss >> 1
             wsrc = w2 >> 1
             a_rid = wsrc // L
@@ -142,7 +141,7 @@ def main():
             if stage == "sort":
                 return k1s.sum() + st.sum() + sq.sum()
             out = ds.build_groups_device(
-                codes, qlens, keys32, pos_pair, lut2, runcnt, k=k, w=w,
+                codes, qlens, keys32, pos_t_p, ss16_p, lut2, runcnt, k=k, w=w,
                 max_occ=max_occ, min_group_anchors=mga, gap_break=gap_break,
                 cap=cap, seq_bits=seq_bits, lut_bits=lut_bits,
                 n_bisect=n_bisect, wtot_max=wtot_max, a_max=a_max,
@@ -154,7 +153,7 @@ def main():
     prev = 0.0
     for s in stages:
         f = prefix(s)
-        ms = timeit(lambda: f(codes, qlens_d, keys32, pos_pair, lut2,
+        ms = timeit(lambda: f(codes, qlens_d, keys32, pos_t_p, ss16_p, lut2,
                               runcnt))
         print(f"{s:8s} cum {ms:7.1f} ms   delta {ms - prev:7.1f} ms",
               flush=True)

@@ -203,7 +203,7 @@ def _bounded_lower_bound(keys, q, lo, hi, steps: int):
     return lo
 
 
-def build_groups_device(codes, qlens, keys32, pos_pair, lut2, runcnt, *,
+def build_groups_device(codes, qlens, keys32, pos_t, ss16, lut2, runcnt, *,
                         k: int, w: int, max_occ: int, min_group_anchors: int,
                         gap_break: int, cap: int, seq_bits: int,
                         lut_bits: int, n_bisect: int,
@@ -211,11 +211,11 @@ def build_groups_device(codes, qlens, keys32, pos_pair, lut2, runcnt, *,
     """Full device seed stage: sketch → bucket-LUT hash lookup → anchor
     expansion → (read, seq, strand, gap)-grouping → capped even subsample.
 
-    keys32: sorted int32 hash table (values < 2**30). pos_pair: (K, 2) int32
-    — per-hit [target position, seq_id << 1 | strand] interleaved so both
-    companions come back in ONE gather (every 512Ki-probe gather costs
-    milliseconds on v5e; pair planes halve the gather count at zero extra
-    memory). lut2: (2**lut_bits, 2) int32 — row b is [first table index
+    keys32: sorted int32 hash table (values < 2**30). pos_t: (K,) int32
+    per-hit within-sequence k-mer end position; ss16: (K,) uint16
+    seq_id << 1 | strand (6 bytes/entry — the position planes dominate
+    device HBM at Gbp scale, and the narrow int16 gather is cheap).
+    lut2: (2**lut_bits, 2) int32 — row b is [first table index
     whose key's top lut_bits bits are >= b, same for b+1] (built host-side
     once per index); n_bisect = max_bucket_size.bit_length() refinement
     rounds inside a bucket.
@@ -306,10 +306,9 @@ def build_groups_device(codes, qlens, keys32, pos_pair, lut2, runcnt, *,
     wp = wtrip[am]
     w2 = wp[:, 0]
     within = aslots - wp[:, 1]
-    pidx = jnp.clip(wp[:, 2] + within, 0, pos_pair.shape[0] - 1)
-    tp = pos_pair[pidx]
-    a_t = tp[:, 0]
-    ss = tp[:, 1]
+    pidx = jnp.clip(wp[:, 2] + within, 0, pos_t.shape[0] - 1)
+    a_t = pos_t[pidx]
+    ss = ss16[pidx].astype(jnp.int32)
     a_seq = ss >> 1
     wsrc = w2 >> 1
     a_rid = wsrc // L

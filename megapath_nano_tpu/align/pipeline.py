@@ -21,9 +21,33 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("t_max",))
-def _gather_windows(seq, starts, *, t_max):
-    return jax.vmap(
-        lambda s: jax.lax.dynamic_slice(seq, (s,), (t_max,)))(starts)
+def _gather_windows(seq4, starts, *, t_max):
+    """Gather (n, t_max) reference windows from the 4-BIT-PACKED resident
+    reference (2 codes/byte, high nibble first). Halving the resident
+    bytes doubles the index size one chip can hold (a 2 Gbp shard's int8
+    bases alone were 2 GB of HBM); the unpack is a shift+mask over the
+    gathered windows. Odd starts are handled by gathering one extra byte
+    and dropping the leading code."""
+    import jax.numpy as jnp
+
+    nb = t_max // 2 + 1
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(seq4, (s,), (nb,)))(starts >> 1)
+    hi = (rows >> 4) & 0xF
+    lo = rows & 0xF
+    codes = jnp.stack([hi, lo], axis=-1).reshape(rows.shape[0], 2 * nb)
+    out = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (t_max,)))(
+            codes, (starts & 1).astype(jnp.int32))
+    return out.astype(jnp.int8)
+
+
+def _pack_seq4(data: np.ndarray) -> np.ndarray:
+    """Host-side 4-bit packing of reference codes (values 0..5)."""
+    if len(data) % 2:
+        data = np.concatenate([data, np.full(1, 5, np.int8)])
+    u = data.astype(np.uint8)
+    return ((u[0::2] << 4) | u[1::2]).astype(np.uint8)
 
 
 def _goffs_from_cnt(cnt):
@@ -333,7 +357,7 @@ def _fused_map_dispatch(packed2, exc_rid, exc_pos, qlens, flat_q, flat_t,
                      "gap_open", "gap_extend", "batch_tile", "backend",
                      "min_chain_score", "max_per_read", "window_pad"))
 def _fused_map_dispatch_devseed(packed2, exc_rid, exc_pos, qlens, keys32,
-                                pos_pair, lut2, runcnt, seq_data,
+                                pos_t, ss16, lut2, runcnt, seq_data,
                                 seq_offsets,
                                 seq_lengths, *, k, w, max_occ,
                                 min_group_anchors, gap_break, cap, seq_bits,
@@ -365,7 +389,7 @@ def _fused_map_dispatch_devseed(packed2, exc_rid, exc_pos, qlens, keys32,
 
     codes = _unpack_reads(packed2, exc_rid, exc_pos)
     qg, tg, cnt, rid, seqid, strand, t_base, dcounts = build_groups_device(
-        codes, qlens, keys32, pos_pair, lut2, runcnt, k=k, w=w,
+        codes, qlens, keys32, pos_t, ss16, lut2, runcnt, k=k, w=w,
         max_occ=max_occ,
         min_group_anchors=min_group_anchors, gap_break=gap_break, cap=cap,
         seq_bits=seq_bits, lut_bits=lut_bits, n_bisect=n_bisect,
@@ -756,16 +780,17 @@ class MinimizerAligner:
 
     def _device_refs(self, starts: np.ndarray, t_max: int):
         """Gather (n, t_max) extension windows on device from the resident
-        reference — the reference bases never cross the host↔device link
-        after the first call (the link, not the DP, is the map-path
-        bottleneck on a remote-attached TPU)."""
+        reference (4-bit packed — see _gather_windows) — the reference
+        bases never cross the host↔device link after the first call (the
+        link, not the DP, is the map-path bottleneck on a remote-attached
+        TPU)."""
         import jax
         import jax.numpy as jnp
 
         if self._seq_data_dev is None:
             pad = np.full(2 ** 15, 5, np.int8)   # sentinel tail: windows
             data = np.concatenate([self.index.seq_data, pad])  # never shift
-            self._seq_data_dev = jax.device_put(jnp.asarray(data))
+            self._seq_data_dev = jax.device_put(_pack_seq4(data))
 
         return _gather_windows(self._seq_data_dev,
                                jnp.asarray(starts, jnp.int32), t_max=t_max)
@@ -787,13 +812,14 @@ class MinimizerAligner:
     def _device_index_planes(self):
         """Device-resident index planes for the device-seeded path:
         keys32 (sorted int32 hash table — valid because k <= 15 masks hashes
-        to 30 bits), pos_pair ((K, 2) int32 [within-sequence k-mer end
-        position, seq_id << 1 | strand] — interleaved so both come back in
-        one gather), the paired bucket LUT lut2 that replaces whole-table
-        searchsorted on device with its static (lut_bits, n_bisect), and
-        runcnt (uint8 equal-key run length at each run start, clipped 255 —
-        one gather replaces the upper-bound bisection).
-        Uploaded once, reused by every slice (lazy)."""
+        to 30 bits), pos_t ((K,) int32 within-sequence k-mer end position),
+        ss16 ((K,) uint16 seq_id << 1 | strand — 6 bytes/entry total instead
+        of 8: at Gbp scale the position planes dominate HBM), the paired
+        bucket LUT lut2 that replaces whole-table searchsorted on device
+        with its static (lut_bits, n_bisect), and runcnt (uint8 equal-key
+        run length at each run start, clipped 255 — one gather replaces the
+        upper-bound bisection). Uploaded once, reused by every slice
+        (lazy)."""
         import jax
 
         if getattr(self, "_planes_dev", None) is None:
@@ -803,13 +829,11 @@ class MinimizerAligner:
             keys32 = idx.keys.astype(np.int64)
             assert keys32.size == 0 or keys32.max() < 2 ** 30
             lut_bits, lut2, n_bisect = _build_lut(keys32, idx.k)
-            pos_pair = np.stack(
-                [pos.astype(np.int32),
-                 ((seq_id.astype(np.int32) << 1) | strand).astype(np.int32)],
-                axis=1)
             self._planes_dev = (
                 jax.device_put(keys32.astype(np.int32)),
-                jax.device_put(np.ascontiguousarray(pos_pair)),
+                jax.device_put(pos.astype(np.int32)),
+                jax.device_put(((seq_id.astype(np.int32) << 1)
+                                | strand).astype(np.uint16)),
                 jax.device_put(lut2),
                 jax.device_put(_run_counts(keys32)),
                 lut_bits, n_bisect)
@@ -1000,7 +1024,7 @@ class MinimizerAligner:
         if self._seq_data_dev is None:
             self._device_refs(np.zeros(1, np.int32), 256)
         seq_off_dev, seq_len_dev = self._device_index_meta()
-        keys32, pos_pair, lut2, runcnt, lut_bits, n_bisect = \
+        keys32, pos_t, ss16, lut2, runcnt, lut_bits, n_bisect = \
             self._device_index_planes()
 
         packed2, exc_rid, exc_pos = _pack_reads2(reads, read_max,
@@ -1021,7 +1045,7 @@ class MinimizerAligner:
         # gather/VMEM and could blow the kernel's 32k packing limit
         t_max = -(-(q_max + band) // 256) * 256
         fut = _fused_map_dispatch_devseed(
-            packed2, exc_rid, exc_pos, qlens_a, keys32, pos_pair, lut2,
+            packed2, exc_rid, exc_pos, qlens_a, keys32, pos_t, ss16, lut2,
             runcnt, self._seq_data_dev, seq_off_dev, seq_len_dev,
             k=idx.k, w=idx.w, max_occ=p.max_occ,
             min_group_anchors=p.min_group_anchors, gap_break=p.gap_break,

@@ -234,7 +234,7 @@ def _load_planes(path: str) -> "ShardedIndexPlanes":
                      "mismatch", "gap_open", "gap_extend", "batch_tile",
                      "backend", "min_chain_score", "max_per_read",
                      "window_pad"))
-def _sharded_fused_dispatch(keys32, pos_pair, lut2, runcnt, seq_data,
+def _sharded_fused_dispatch(keys32, pos_t, ss16, lut2, runcnt, seq_data,
                             seq_off,
                             seq_len, packed2, exc_rid, exc_pos, qlens, *,
                             mesh, k, w, max_occ, min_group_anchors,
@@ -257,14 +257,14 @@ def _sharded_fused_dispatch(keys32, pos_pair, lut2, runcnt, seq_data,
     block-local; the host offsets them by d * nd after the fetch."""
     from megapath_nano_tpu.align.device_seed import build_groups_device
 
-    def local_step(keys32, pos_pair, lut2, runcnt, seq_data, seq_off,
+    def local_step(keys32, pos_t, ss16, lut2, runcnt, seq_data, seq_off,
                    seq_len, packed2, exc_rid, exc_pos, qlens):
         packed2, exc_rid, exc_pos, qlens = (
             packed2[0], exc_rid[0], exc_pos[0], qlens[0])
         codes = _unpack_reads(packed2, exc_rid, exc_pos)
         qg, tg, cnt, rid, seqid, strand, t_base, dcounts = \
             build_groups_device(
-                codes, qlens, keys32[0], pos_pair[0], lut2[0],
+                codes, qlens, keys32[0], pos_t[0], ss16[0], lut2[0],
                 runcnt[0], k=k, w=w,
                 max_occ=max_occ, min_group_anchors=min_group_anchors,
                 gap_break=gap_break, cap=cap, seq_bits=seq_bits,
@@ -287,7 +287,7 @@ def _sharded_fused_dispatch(keys32, pos_pair, lut2, runcnt, seq_data,
 
     return shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("shard", None), P("shard", None, None),
+        in_specs=(P("shard", None), P("shard", None), P("shard", None),
                   P("shard", None, None),
                   P("shard", None), P("shard", None), P("shard", None),
                   P("shard", None),
@@ -295,7 +295,7 @@ def _sharded_fused_dispatch(keys32, pos_pair, lut2, runcnt, seq_data,
                   P("data", None)),
         out_specs=P("data"),
         check_vma=False,
-    )(keys32, pos_pair, lut2, runcnt, seq_data, seq_off, seq_len,
+    )(keys32, pos_t, ss16, lut2, runcnt, seq_data, seq_off, seq_len,
       packed2, exc_rid, exc_pos, qlens)
 
 
@@ -348,14 +348,25 @@ class ShardMapAligner:
             runcnts = np.stack([
                 _run_counts(p.keys32[s].astype(np.int64))
                 for s in range(p.n_shards)])
-            pos_pairs = np.ascontiguousarray(
-                np.stack([p.pos_t, p.pos_ss], axis=2))
+            ss16 = p.pos_ss.astype(np.uint16)
+            # device reference is 4-bit packed (align/pipeline._pack_seq4):
+            # halves the dominant HBM plane so more shards fit per chip
+            T = p.seq_data.shape[1]
+            if T % 2:
+                seqp = np.concatenate(
+                    [p.seq_data, np.full((p.n_shards, 1), 5, np.int8)],
+                    axis=1)
+            else:
+                seqp = p.seq_data
+            u = seqp.astype(np.uint8)
+            seq4 = ((u[:, 0::2] << 4) | u[:, 1::2]).astype(np.uint8)
             self._dev = tuple(
                 jax.device_put(a, sh if a.ndim == 2 else
                                NamedSharding(self.mesh,
                                              P("shard", None, None)))
-                for a in (p.keys32, pos_pairs, lut2s, runcnts,
-                          p.seq_data,
+                for a in (p.keys32, p.pos_t.astype(np.int32), ss16,
+                          lut2s, runcnts,
+                          seq4,
                           p.seq_offsets, p.seq_lengths))
         return self._dev
 

@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
-"""Train and ship the default variant-model ensemble.
+"""Train and ship the default variant-model ensemble (ONT-realistic).
 
 The reference ships seven pretrained Clair checkpoints
 (/root/reference/bin/Clair-ensemble/model/model-0000*) consumed by
-runClair-ensemble.sh. This script produces the analogous in-repo artifacts:
-three ClairNet models trained on simulated ONT reads over a synthetic
-diploid sample, evaluated as an ensemble on a HELD-OUT world (different
-genome, different variants, different reads), with the measured
-precision/recall/F1 recorded in the shipped manifest.
+runClair-ensemble.sh, trained on real ONT data. The zero-egress analogue
+here trains three ClairNet models on reads from the in-repo ONT simulator
+(sim/simulator.py — error runs, homopolymer deletions, per-read rate
+variability, junk ends) at an R9-like ~12% error rate and 20x coverage,
+over diploid worlds carrying BOTH SNVs and 1-6 bp indels (the indels act
+as realistic confounders for the SNV caller: misaligned flanks produce
+spurious candidates the models must learn to reject).
+
+Evaluation is honest and threefold, all recorded in the shipped manifest:
+  - held-out same-profile world (R9-like, 18x)
+  - cross-profile world (R10-like ~6% error, 15x) — generalization
+  - low-coverage world (R9-like, 10x) — the hard regime
 
   JAX_PLATFORMS=cpu python tools/train_default_variant_models.py \
       [--steps 1500] [--out megapath_nano_tpu/variant/models]
@@ -25,50 +32,95 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 HIDDEN = 96
-ERR = 0.05
-READ_LEN = 1000
-COVERAGE = 50
+READ_CAP = 2000
 
 
-def make_world(seed, glen=60_000, n_het=60, n_hom=60):
-    """Reference genome + diploid sample (het on hap1 only, hom on both) +
-    truth dict {pos: (alt_code, 'het'|'hom')}."""
+def r9_profile():
+    from megapath_nano_tpu.sim.simulator import ErrorProfile
+
+    # R9.4.1-flavored: ~12% total error, deletion-heavy, strong
+    # homopolymer deletions
+    return ErrorProfile(sub_rate=0.04, ins_rate=0.03, del_rate=0.05,
+                        homopolymer_del_boost=2.5, length_log_mean=7.6,
+                        length_log_sigma=0.5, min_length=400)
+
+
+def r10_profile():
+    from megapath_nano_tpu.sim.simulator import ErrorProfile
+
+    # R10.4-flavored: ~6% total error, milder homopolymer behavior
+    return ErrorProfile(sub_rate=0.02, ins_rate=0.015, del_rate=0.025,
+                        homopolymer_del_boost=1.5, length_log_mean=7.6,
+                        length_log_sigma=0.5, min_length=400)
+
+
+def make_world(seed, glen=60_000, n_het=60, n_hom=60, n_indel=40):
+    """Reference + diploid sample with SNVs AND indels.
+
+    Returns (rng, ref, hap1, hap2, truth) where truth maps ref position ->
+    (alt_code, 'het'|'hom') for SNVs only (indels are confounders; the
+    caller under test is the SNV caller, and any call near an indel that
+    isn't a true SNV counts as a false positive)."""
     from megapath_nano_tpu.utils.dna import random_sequence
 
     rng = np.random.default_rng(seed)
     ref = random_sequence(rng, glen)
-    pos = rng.choice(np.arange(100, glen - 100), n_het + n_hom,
-                     replace=False)
-    pos.sort()
+    all_pos = rng.choice(np.arange(200, glen - 200),
+                         n_het + n_hom + n_indel, replace=False)
+    # enforce >= 30 bp spacing so truth variants don't stack
+    all_pos = np.sort(all_pos)
+    keep = np.concatenate([[True], np.diff(all_pos) >= 30])
+    all_pos = all_pos[keep]
+    snv_pos = all_pos[: n_het + n_hom]
+    indel_pos = all_pos[n_het + n_hom:]
+
     truth = {}
     hap1 = ref.copy()
     hap2 = ref.copy()
-    for i, p in enumerate(pos):
+    for i, p in enumerate(snv_pos):
         alt = (int(ref[p]) + 1 + int(rng.integers(0, 3))) % 4
-        if i % 2 == 0 and len([k for k, v in truth.items()
-                               if v[1] == "het"]) < n_het:
+        if i % 2 == 0:
             hap1[p] = alt
             truth[int(p)] = (alt, "het")
         else:
             hap1[p] = alt
             hap2[p] = alt
             truth[int(p)] = (alt, "hom")
+
+    # plant indels descending so earlier coordinates stay valid
+    indels = []
+    for j, p in enumerate(sorted(indel_pos.tolist(), reverse=True)):
+        length = int(rng.integers(1, 7))
+        kind = "ins" if rng.integers(0, 2) else "del"
+        zyg = "het" if j % 2 == 0 else "hom"
+        indels.append((p, kind, length, zyg))
+
+    def apply_indels(hap, which):
+        for p, kind, length, zyg in indels:
+            if zyg == "het" and which != 1:
+                continue
+            if kind == "ins":
+                ins = np.asarray(rng.integers(0, 4, length), np.int8)
+                hap = np.concatenate([hap[:p], ins, hap[p:]])
+            else:
+                hap = np.concatenate([hap[:p], hap[p + length:]])
+        return hap
+
+    hap1 = apply_indels(hap1, 1)
+    hap2 = apply_indels(hap2, 2)
     return rng, ref, hap1, hap2, truth
 
 
-def simulate_reads(rng, hap1, hap2, n_reads):
-    from megapath_nano_tpu.utils.dna import mutate, revcomp
+def simulate_diploid(hap1, hap2, coverage, profile, seed):
+    """ONT-simulator reads at `coverage`x total over the diploid pair."""
+    from megapath_nano_tpu.sim.simulator import simulate_reads
 
     reads = []
-    glen = len(hap1)
-    for i in range(n_reads):
-        hap = hap1 if i % 2 == 0 else hap2
-        s = int(rng.integers(0, glen - READ_LEN))
-        r = mutate(rng, hap[s: s + READ_LEN], sub_rate=ERR * 0.5,
-                   ins_rate=ERR * 0.25, del_rate=ERR * 0.25)
-        if rng.integers(0, 2):
-            r = revcomp(r)
-        reads.append(r)
+    for k, hap in enumerate((hap1, hap2)):
+        n = max(1, int(coverage / 2 * len(hap) / 1400))
+        rs, _truth = simulate_reads(hap, n, profile, seed=seed + k,
+                                    max_length=READ_CAP)
+        reads.extend(rs)
     return reads
 
 
@@ -117,58 +169,13 @@ def labels_for(cands, truth):
             "var_len_2": np.zeros(len(cands), np.int64)}
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "megapath_nano_tpu", "variant", "models"))
-    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
-    args = ap.parse_args(argv)
-
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
+def evaluate(models, world_seed, profile, coverage, *, name):
     from megapath_nano_tpu.variant.caller import call_variants
-    from megapath_nano_tpu.variant.model import VariantModel
 
-    # ---- train worlds (two, pooled — varied error contexts) -------------
-    xs, ys = [], []
-    for wseed in (11, 12):
-        rng, ref, h1, h2, truth = make_world(wseed)
-        n_reads = COVERAGE * len(ref) // READ_LEN
-        reads = simulate_reads(rng, h1, h2, n_reads)
-        _, cands, tensors = map_and_tensors(ref, reads, min_af=0.08,
-                                            min_depth=4)
-        lab = labels_for(cands, truth)
-        print(f"world {wseed}: {len(cands)} candidates, "
-              f"{int((lab['zygosity'] > 0).sum())} variant-labeled")
-        xs.append(tensors)
-        ys.append(lab)
-    x = np.concatenate(xs)
-    labels = {k: np.concatenate([y[k] for y in ys]) for k in ys[0]}
-
-    os.makedirs(args.out, exist_ok=True)
-    models = []
-    for seed in args.seeds:
-        m = VariantModel(seed=seed, hidden=HIDDEN)
-        done = 0
-        while done < args.steps:
-            n = min(300, args.steps - done)
-            loss = m.train_steps(x, labels, n)
-            done += n
-            print(f"model seed {seed}: step {done}/{args.steps} "
-                  f"loss {loss:.4f}")
-        path = os.path.join(args.out, f"model-{seed:03d}.pkl")
-        m.save(path)
-        models.append(m)
-        print(f"saved {path} ({os.path.getsize(path) // 1024} KiB)")
-
-    # ---- held-out evaluation (new genome, variants, reads) --------------
-    rng, ref, h1, h2, truth = make_world(99, glen=40_000, n_het=40,
-                                         n_hom=40)
-    reads = simulate_reads(rng, h1, h2, COVERAGE * len(ref) // READ_LEN)
+    rng, ref, h1, h2, truth = make_world(world_seed, glen=40_000,
+                                         n_het=40, n_hom=40, n_indel=30)
+    reads = simulate_diploid(h1, h2, coverage, profile,
+                             seed=world_seed * 1000)
     al, cands, _ = map_and_tensors(ref, reads, min_af=0.125, min_depth=4)
     calls = call_variants(al, reads, 0, ref, models, min_af=0.125,
                           min_depth=4)
@@ -185,23 +192,86 @@ def main(argv=None) -> int:
     gt_ok = sum(1 for p, (alt, kind) in truth.items()
                 if p in called and called[p].genotype
                 == ("0/1" if kind == "het" else "1/1"))
-    print(f"held-out: TP {tp} FP {fp} FN {fn} -> precision "
-          f"{precision:.3f} recall {recall:.3f} F1 {f1:.3f}; "
-          f"genotype accuracy {gt_ok}/{tp}")
+    print(f"{name}: {len(cands)} candidates, TP {tp} FP {fp} FN {fn} -> "
+          f"P {precision:.3f} R {recall:.3f} F1 {f1:.3f}; "
+          f"GT {gt_ok}/{max(tp, 1)}", flush=True)
+    return {"world": world_seed, "coverage": coverage,
+            "n_truth_snv": len(truth),
+            "tp": tp, "fp": fp, "fn": fn,
+            "precision": round(precision, 4), "recall": round(recall, 4),
+            "f1": round(f1, 4),
+            "genotype_acc": round(gt_ok / max(tp, 1), 4)}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "megapath_nano_tpu", "variant", "models"))
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--coverage", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from megapath_nano_tpu.variant.model import VariantModel
+
+    # ---- train worlds (R9-like ~12% error, 20x, SNVs + indels) ----------
+    xs, ys = [], []
+    for wseed in (11, 12):
+        rng, ref, h1, h2, truth = make_world(wseed)
+        reads = simulate_diploid(h1, h2, args.coverage, r9_profile(),
+                                 seed=wseed)
+        _, cands, tensors = map_and_tensors(ref, reads, min_af=0.08,
+                                            min_depth=4)
+        lab = labels_for(cands, truth)
+        print(f"world {wseed}: {len(cands)} candidates, "
+              f"{int((lab['zygosity'] > 0).sum())} variant-labeled",
+              flush=True)
+        xs.append(tensors)
+        ys.append(lab)
+    x = np.concatenate(xs)
+    labels = {k: np.concatenate([y[k] for y in ys]) for k in ys[0]}
+
+    os.makedirs(args.out, exist_ok=True)
+    models = []
+    for seed in args.seeds:
+        m = VariantModel(seed=seed, hidden=HIDDEN)
+        done = 0
+        while done < args.steps:
+            n = min(300, args.steps - done)
+            loss = m.train_steps(x, labels, n)
+            done += n
+            print(f"model seed {seed}: step {done}/{args.steps} "
+                  f"loss {loss:.4f}", flush=True)
+        path = os.path.join(args.out, f"model-{seed:03d}.pkl")
+        m.save(path)
+        models.append(m)
+        print(f"saved {path} ({os.path.getsize(path) // 1024} KiB)",
+              flush=True)
+
+    # ---- held-out evaluations -------------------------------------------
+    ev_same = evaluate(models, 99, r9_profile(), 18, name="heldout_r9_18x")
+    ev_cross = evaluate(models, 98, r10_profile(), 15,
+                        name="crossprofile_r10_15x")
+    ev_low = evaluate(models, 97, r9_profile(), 10, name="lowcov_r9_10x")
     manifest = {
         "models": [f"model-{s:03d}.pkl" for s in args.seeds],
         "hidden": HIDDEN,
-        "train": {"worlds": [11, 12], "coverage": COVERAGE, "err": ERR,
+        "train": {"worlds": [11, 12], "coverage": args.coverage,
+                  "profile": "r9_like_12pct_err_with_indels",
                   "steps": args.steps, "n_tensors": int(len(x))},
-        "heldout_eval": {"world": 99, "tp": tp, "fp": fp, "fn": fn,
-                         "precision": round(precision, 4),
-                         "recall": round(recall, 4), "f1": round(f1, 4),
-                         "genotype_acc": round(gt_ok / max(tp, 1), 4)},
+        "heldout_eval": ev_same,
+        "crossprofile_eval": ev_cross,
+        "lowcov_eval": ev_low,
     }
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     print(f"manifest written to {args.out}/manifest.json")
-    return 0 if f1 >= 0.9 else 1
+    return 0 if ev_same["f1"] >= 0.80 else 1
 
 
 if __name__ == "__main__":
