@@ -38,6 +38,8 @@ class _StubBedTool:
     (merge joins overlapping AND bookended intervals per chrom; subtract
     removes overlapping portions of each a-interval)."""
 
+    _registry: dict = {}          # fn -> stub (for annotate(files=fn))
+
     def __init__(self, arg=None, from_string=False, rows=None):
         if rows is not None:
             self.rows = rows
@@ -52,13 +54,32 @@ class _StubBedTool:
             self.rows = []
         fd, self.fn = tempfile.mkstemp(prefix="stub_bed_")
         os.close(fd)
+        _StubBedTool._registry[self.fn] = self
 
     @classmethod
     def from_dataframe(cls, df):
         rows = [tuple(r) for r in df.itertuples(index=False)]
-        rows = [(str(r[0]), int(r[1]), int(r[2]), *map(str, r[3:4]))
+        rows = [(str(r[0]), int(r[1]), int(r[2]), *r[3:])
                 for r in rows]
         return cls(rows=rows)
+
+    def annotate(self, files):
+        """bedtools annotate: append the fraction of each interval covered
+        by the (union of the) file's intervals on the same chrom."""
+        other = _StubBedTool._registry[files]
+        merged = other.merge()
+        by_chrom: dict = {}
+        for r in merged.rows:
+            by_chrom.setdefault(r[0], []).append((r[1], r[2]))
+        out = []
+        for r in self.rows:
+            chrom, s, e = r[0], int(r[1]), int(r[2])
+            cov = 0
+            for bs, be in by_chrom.get(chrom, []):
+                cov += max(0, min(e, be) - max(s, bs))
+            frac = cov / max(e - s, 1)
+            out.append((*r, frac))
+        return _StubBedTool(rows=out)
 
     def sort(self):
         return _StubBedTool(rows=sorted(self.rows,
@@ -111,7 +132,8 @@ class _StubBedTool:
         if not self.rows:
             return pd.DataFrame(columns=["chrom", "start", "end"])
         width = max(len(r) for r in self.rows)
-        cols = ["chrom", "start", "end", "name"][:width]
+        cols = ["chrom", "start", "end", "name", "score", "strand",
+                "thickStart"][:width]
         return pd.DataFrame([r[:width] for r in self.rows], columns=cols)
 
     def __eq__(self, other):       # reference writes `noise_bed != None`
@@ -396,6 +418,58 @@ def main():
         "result": df_records(
             out_d.sort_values(["read_id", "name"]),
             ["read_id", "name", "sequence_id", "alignment_score"]),
+    }
+
+    # Case E: select_alignment_by_bed — the overlap-fraction selection the
+    # noise stack's ON-paths run through (steps 11/13/15 and the noise
+    # statistics; reference :666-717, called at :2259 with max_overlap=50,
+    # can_equal_to_max=True). The bed is crafted so alignment overlap
+    # fractions land below / exactly AT / above the 50% gate, pinning the
+    # boundary semantics (<= keeps).
+    rng = np.random.default_rng(404)
+    df_e = make_align_df(rng, n_reads=50, unique_best=True)
+    sel_rows = [
+        ("NC_A1a", 0, 6_000, "GCF_A1"),
+        ("NC_A1a", 10_000, 18_000, "GCF_A1"),
+        ("NC_A1b", 2_000, 7_000, "GCF_A1"),
+        ("NC_A2a", 0, 40_000, "GCF_A2"),
+        ("NC_B1a", 25_000, 26_000, "GCF_B1"),
+    ]
+    # plant alignments with exact fractions 0.5 and 0.25 against the first
+    # noise interval [0, 6000) of NC_A1a
+    exact_rows = []
+    for i, (sfrom, sto) in enumerate([(4000, 8000),     # ov 2000/4000 = 0.5
+                                      (5000, 9000),     # ov 1000/4000 = .25
+                                      (1000, 5000),     # ov 4000/4000 = 1.0
+                                      (5999, 9999)]):   # ov 1/4000
+        exact_rows.append(dict(
+            read_id=f"sel{i:02d}", read_length=4500, read_from=0,
+            read_to=4000, strand="+", sequence_id="NC_A1a",
+            sequence_length=30_000, sequence_from=sfrom, sequence_to=sto,
+            match=3600, mapq=60, edit_dist=200, alignment_score=2000,
+            assembly_id="GCF_A1", tax_id=0, species_tax_id=0,
+            genus_tax_id=0, alignment_score_tiebreaker=0.5))
+    df_e = pd.concat([df_e, pd.DataFrame(exact_rows)], ignore_index=True)
+    sel_bed = _StubBedTool(rows=sel_rows)
+    work_e = tempfile.mkdtemp(prefix="taxon_golden_sel_")
+    kept_e = ref.select_alignment_by_bed(
+        temp_dir_name=work_e, align_list=df_e, bed=sel_bed,
+        max_overlap=50, can_equal_to_max=True)
+    # the inverse selection (> 50%) — the noise statistics' noise set
+    noise_e = ref.select_alignment_by_bed(
+        temp_dir_name=work_e, align_list=df_e, bed=sel_bed,
+        max_overlap=100, can_equal_to_max=True, min_overlap=50,
+        can_equal_to_min=False)
+    key_cols = ["read_id", "sequence_id", "sequence_from", "sequence_to"]
+    fixtures["cases"]["noise_select"] = {
+        "align_list": df_records(df_e, align_cols),
+        "align_cols": align_cols,
+        "noise_bed": [list(r) for r in sel_rows],
+        "max_overlap": 50,
+        "kept": df_records(
+            kept_e.sort_values(key_cols), key_cols),
+        "noise": df_records(
+            noise_e.sort_values(key_cols), key_cols),
     }
 
     with open(OUT, "w") as f:
