@@ -228,9 +228,23 @@ def main(argv=None) -> int:
         _, cands, tensors = map_and_tensors(ref, reads, min_af=0.08,
                                             min_depth=4)
         lab = labels_for(cands, truth)
+        n_pos = int((lab["zygosity"] > 0).sum())
         print(f"world {wseed}: {len(cands)} candidates, "
-              f"{int((lab['zygosity'] > 0).sum())} variant-labeled",
-              flush=True)
+              f"{n_pos} variant-labeled", flush=True)
+        # at ONT error rates the candidate set is ~0.4% positive; train on
+        # all positives + a 20:1 negative subsample (full-batch training
+        # over 60k+ mostly-negative tensors is both slow and lopsided)
+        rng_s = np.random.default_rng(wseed)
+        pos_idx = np.flatnonzero(lab["zygosity"] > 0)
+        neg_idx = np.flatnonzero(lab["zygosity"] == 0)
+        if len(neg_idx) > 20 * max(len(pos_idx), 1):
+            neg_idx = rng_s.choice(neg_idx, 20 * max(len(pos_idx), 1),
+                                   replace=False)
+        sel = np.sort(np.concatenate([pos_idx, neg_idx]))
+        tensors = tensors[sel]
+        lab = {k: v[sel] for k, v in lab.items()}
+        print(f"  training subset: {len(sel)} tensors "
+              f"({len(pos_idx)} pos / {len(neg_idx)} neg)", flush=True)
         xs.append(tensors)
         ys.append(lab)
     x = np.concatenate(xs)
