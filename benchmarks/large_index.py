@@ -107,25 +107,42 @@ def main(argv=None) -> int:
             out.append(read)
         return out
 
-    batches = [make_reads(i) for i in range(3)]
+    batches = [make_reads(i) for i in range(4)]
+    # TWO warmup batches: the first may overflow the adaptive caps (dense
+    # indexes), the second compiles the bumped shapes — so the timed window
+    # holds no one-time recompiles
     t0 = time.time()
     res = aligner.map_reads(batches[0], slice_size=2048, emit_cigars=False)
+    aligner.map_reads(batches[1], slice_size=2048, emit_cigars=False)
     t_warm = time.time() - t0
     n_aligned = len(np.unique(res.data["read_id"]))
     t0 = time.time()
-    for b in batches[1:]:
+    for b in batches[2:]:
         aligner.map_reads(b, slice_size=2048, emit_cigars=False)
     dt = time.time() - t0
     rps = 2 * args.reads / dt
+    overflow = getattr(aligner, "overflow_stats", None)
+    shard_stats = None
+    if hasattr(aligner, "shards"):
+        shard_stats = [dict(a.overflow_stats) for a in aligner.shards if a]
+        scales = [{k: round(v, 2) for k, v in a._cap_scales.items()}
+                  for a in aligner.shards if a]
+    else:
+        scales = {k: round(v, 2) for k, v in aligner._cap_scales.items()}
     emit({
         "metric": f"ONT reads/s/chip vs {args.gbp:.1f} Gbp index",
         "value": round(rps, 1), "unit": "reads/s/chip",
         "warmup_s": round(t_warm, 1),
         "aligned_fraction": round(n_aligned / args.reads, 3),
+        "overflow": shard_stats or (dict(overflow) if overflow else None),
+        "cap_scales": scales,
         "backend": backend})
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "large_index.json")
+    base = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(base, f"large_index_{args.gbp:g}gbp.json")
     with open(out, "w") as f:
+        json.dump(records, f, indent=1)
+    # legacy single-file name: latest run
+    with open(os.path.join(base, "large_index.json"), "w") as f:
         json.dump(records, f, indent=1)
     print(f"written {out}")
     return 0
